@@ -1,0 +1,187 @@
+"""Image preprocessing as MXU-friendly linear resampling.
+
+The reference preprocesses with PIL resize + torchvision ToTensor/Normalize
+(`dinov2_extractor.py:177-191`) and interpolates ViT positional embeddings with
+torch's bicubic `F.interpolate(scale_factor=..., recompute_scale_factor=False)`
+(`dinov2_extractor.py:94-120`).
+
+TPU-native design: separable resampling is expressed as two small dense
+matmuls (out = W_h @ img @ W_w^T).  The weight matrices are computed once at
+trace time with numpy (static shapes) and baked into the jitted graph, so a
+resize costs two MXU matmuls instead of a scatter/gather soup.
+
+Parity notes:
+  * `method='bicubic'` reproduces torch's cubic convolution (A = -0.75),
+    half-pixel sampling, `align_corners=False`, replicate edge handling.
+  * `scale=` overrides the coordinate scale to reproduce torch's
+    `scale_factor` + `recompute_scale_factor=False` semantics, which the
+    DINO pos-embed interpolation depends on (the "+0.1" fudge:
+    scale_factor = (w0 + 0.1) / sqrt(N)).
+  * `antialias=True` widens the filter support for downscaling (PIL-style).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+# ImageNet normalization used for DINO-family models
+# (reference dinov2_extractor.py:49-50).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+# timm-style ViTs use 0.5/0.5 (same lines).
+HALF_MEAN = (0.5, 0.5, 0.5)
+HALF_STD = (0.5, 0.5, 0.5)
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel, torch's A = -0.75 variant."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    w = np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+def _linear_kernel(x: np.ndarray) -> np.ndarray:
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
+@functools.lru_cache(maxsize=256)
+def resize_weights(
+    in_size: int,
+    out_size: int,
+    method: str = "bilinear",
+    antialias: bool = False,
+    scale: float | None = None,
+) -> np.ndarray:
+    """(out_size, in_size) resampling matrix, half-pixel / align_corners=False.
+
+    `scale` is out/in coordinate scale; if None it is out_size / in_size.
+    """
+    if method == "bilinear":
+        kernel, support = _linear_kernel, 1.0
+    elif method == "bicubic":
+        # torch parity: antialias=True uses the PIL cubic (A = -0.5),
+        # antialias=False uses torch's classic cubic convolution (A = -0.75).
+        a = -0.5 if antialias else -0.75
+        kernel, support = (lambda x: _cubic_kernel(x, a=a)), 2.0
+    elif method == "nearest":
+        kernel, support = None, 0.5
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+
+    s = (out_size / in_size) if scale is None else scale
+    inv = 1.0 / s
+
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * inv - 0.5  # half-pixel mapping
+
+    if method == "nearest":
+        # torch 'nearest' uses floor(dst * inv)
+        idx = np.clip(np.floor(dst * inv).astype(np.int64), 0, in_size - 1)
+        w = np.zeros((out_size, in_size), dtype=np.float32)
+        w[np.arange(out_size), idx] = 1.0
+        return w
+
+    # Antialias widens the kernel support by 1/scale when downscaling.
+    filt_scale = max(inv, 1.0) if antialias else 1.0
+    sup = support * filt_scale
+
+    if antialias:
+        # PIL/torch-antialias tap window: [int(center - sup + 0.5),
+        # int(center + sup + 0.5)) clipped to bounds, weights renormalized
+        # over the window (out-of-bounds taps dropped, not replicated).
+        center = src + 0.5
+        xmin = np.maximum(0, (center - sup + 0.5).astype(np.int64))
+        xmax = np.minimum(in_size, (center + sup + 0.5).astype(np.int64))
+        ntaps = int((xmax - xmin).max())
+        taps = xmin[:, None] + np.arange(ntaps)[None, :]
+        x = (src[:, None] - taps) / filt_scale
+        w = kernel(x)
+        w = np.where(taps < xmax[:, None], w, 0.0)
+    else:
+        lo = np.floor(src - sup + 1.0).astype(np.int64)
+        ntaps = int(np.ceil(2.0 * sup)) + 2
+        taps = lo[:, None] + np.arange(ntaps)[None, :]  # (out, ntaps)
+        x = (src[:, None] - taps) / filt_scale
+        w = kernel(x)
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    # Replicate-pad edge handling (torch antialias=False): clamp tap indices,
+    # weights accumulate onto the edge sample.  No-op for antialias taps.
+    taps_c = np.clip(taps, 0, in_size - 1)
+    dense = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(dense, (np.repeat(np.arange(out_size), ntaps), taps_c.ravel()), w.ravel())
+    return dense.astype(np.float32)
+
+
+def resize(
+    img: jnp.ndarray,
+    out_hw: tuple[int, int],
+    method: str = "bilinear",
+    antialias: bool = False,
+) -> jnp.ndarray:
+    """Resize (..., H, W, C) images to (..., H', W', C) via two matmuls."""
+    h, w = img.shape[-3], img.shape[-2]
+    oh, ow = out_hw
+    wh = jnp.asarray(resize_weights(h, oh, method, antialias))
+    ww = jnp.asarray(resize_weights(w, ow, method, antialias))
+    # HIGHEST precision: the resampling matmuls are tiny next to the ViT, and
+    # the pixel pipeline must hold f32 accuracy for descriptor parity.
+    out = jnp.einsum("Oh,...hwc->...Owc", wh, img, precision="highest")
+    out = jnp.einsum("Ow,...hwc->...hOc", ww, out, precision="highest")
+    return out
+
+
+def interpolate_bicubic_scale_factor(
+    grid: jnp.ndarray, scale_h: float, scale_w: float
+) -> jnp.ndarray:
+    """Bicubic interpolation of a (H, W, D) grid with EXPLICIT scale factors.
+
+    Output spatial size is floor(in * scale); the coordinate mapping uses the
+    given scale (not the out/in ratio), reproducing torch's
+    `interpolate(scale_factor=..., recompute_scale_factor=False)` as required
+    for DINO pos-embed parity (reference dinov2_extractor.py:109-115).
+    """
+    h, w, _ = grid.shape
+    oh = int(np.floor(h * scale_h))
+    ow = int(np.floor(w * scale_w))
+    wh = jnp.asarray(resize_weights(h, oh, "bicubic", False, scale=scale_h))
+    ww = jnp.asarray(resize_weights(w, ow, "bicubic", False, scale=scale_w))
+    out = jnp.einsum("Oh,hwd->Owd", wh, grid, precision="highest")
+    out = jnp.einsum("Ow,hwd->hOd", ww, out, precision="highest")
+    return out
+
+
+def normalize(img: jnp.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jnp.ndarray:
+    """Channel-wise normalization of a float image in [0, 1], (..., H, W, C)."""
+    mean = jnp.asarray(mean, dtype=img.dtype)
+    std = jnp.asarray(std, dtype=img.dtype)
+    return (img - mean) / std
+
+
+def preprocess_frame(
+    rgb: jnp.ndarray,
+    input_size: int,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+    method: str = "bicubic",
+    antialias: bool = True,
+) -> jnp.ndarray:
+    """Full frame preprocessing: resize to (input_size, input_size), scale to
+    [0,1] if uint8, normalize.  Mirrors the reference's PIL resize +
+    preprocess_pil chain (vitvs_v2.py:474-480, dinov2_extractor.py:177-191).
+
+    Accepts (..., H, W, 3) uint8 or float; returns float32 (..., S, S, 3).
+    """
+    img = rgb.astype(jnp.float32)
+    if rgb.dtype == jnp.uint8:
+        img = img / 255.0
+    img = resize(img, (input_size, input_size), method=method, antialias=antialias)
+    return normalize(img, mean, std)

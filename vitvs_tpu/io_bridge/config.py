@@ -1,0 +1,102 @@
+"""Configuration system.
+
+Single flat YAML with the same keys as the reference's
+`catkin_ws/ibvs/config/config.yaml:1-39`, loaded by `load_parameters`
+(reference vitvs_v2.py:272-323), plus TPU-build extensions (model size, dtype,
+solver choice).  A frozen dataclass makes configs hashable and usable as
+jit-static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class VSConfig:
+    # Camera / image (reference config.yaml:1-7)
+    u_max: int = 640
+    v_max: int = 480
+    f_x: float = 502.3016357421875
+    f_y: float = 502.3016357421875
+
+    # Control (reference config.yaml:3-10, vitvs_v2.py:286-291)
+    lambda_: float = 0.03
+    max_velocity: float = 1.0
+    min_error: float = 100.0
+    max_error: float = 70000.0
+    num_pairs: int = 24
+
+    # DINO feature detection (reference config.yaml:13-17)
+    dino_input_size: int = 308
+    background_thresh: float = 0.005
+    thresh_filter_keypoints: float = 1.0
+    use_feature_binning: bool = True
+
+    # Sampling (reference config.yaml:19-22)
+    num_samples: int = 500
+    num_circles: int = 4
+    circle_radius_aug: float = 0.08
+
+    # Convergence (reference config.yaml:24-30)
+    velocity_convergence_threshold: float = 0.00008
+    velocity_threshold_translation: float = 5e-19
+    velocity_threshold_rotation: float = 5e-19
+    error_threshold_ratio: float = 0.001
+    error_threshold_absolute_translation: float = 0.1
+    error_threshold_absolute_rotation: float = 0.1
+
+    # Iteration control (reference config.yaml:32-34)
+    min_iterations: int = 300
+    max_iterations: int = 1500
+
+    # EMA / velocity history (reference config.yaml:36-38)
+    max_velocity_vector_history: int = 200
+    ema_alpha: float = 0.8
+
+    image_path: str = "goalrgb.jpg"
+
+    # ---- TPU-build extensions (no reference equivalent) ----
+    model_name: str = "dinov2_vits14"  # reference hardcodes this (vitvs_v2.py:250)
+    stride: int = 14
+    layer: int = 11          # reference hardcodes layer=11 (vitvs_v2.py:484)
+    facet: str = "token"     # reference hardcodes facet='token' (vitvs_v2.py:485)
+    compute_dtype: str = "bfloat16"
+    pinv_mode: str = "svd"   # 'svd' (np.linalg.pinv parity) | 'dls' (fast Cholesky)
+    pinv_damping: float = 1e-9
+    # divergence abort multiplier: 2x for the ViT controller (vitvs_v2.py:359),
+    # 5x for the classical controller (ibvs_standard.py:215)
+    divergence_multiplier: float = 2.0
+    control_dt: float = 0.02  # actuation at 50 Hz (gazebo_vel_broadcaster.py:59)
+
+    @property
+    def c_x(self) -> float:
+        return self.u_max / 2.0  # reference vitvs_v2.py:282
+
+    @property
+    def c_y(self) -> float:
+        return self.v_max / 2.0  # reference vitvs_v2.py:283
+
+    def replace(self, **kw: Any) -> "VSConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_FIELDS = {f.name for f in dataclasses.fields(VSConfig)}
+
+
+def load_config(path: str | os.PathLike) -> VSConfig:
+    """Load a reference-format YAML config; unknown keys are ignored,
+    missing keys fall back to the reference defaults above."""
+    with open(path, "r") as fh:
+        raw = yaml.safe_load(fh) or {}
+    kwargs = {k: v for k, v in raw.items() if k in _FIELDS}
+    return VSConfig(**kwargs)
+
+
+def save_config(cfg: VSConfig, path: str | os.PathLike) -> None:
+    with open(path, "w") as fh:
+        yaml.safe_dump(dataclasses.asdict(cfg), fh, sort_keys=False)
