@@ -1,0 +1,144 @@
+"""Matcher tests vs a torch oracle of the reference matching semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from vitvs_tpu.match import correspondence as C
+
+RNG = np.random.default_rng(11)
+
+
+def torch_oracle_eligible(desc1: np.ndarray, desc2: np.ndarray, gw: int):
+    """Oracle for the deterministic part of the reference matcher
+    (vitvs_v2.py:78-131): returns (eligible_set, nn_1, sim_1, same_image)."""
+    a = torch.from_numpy(desc1)
+    b = torch.from_numpy(desc2)
+    sim = torch.nn.functional.cosine_similarity(a[:, None, :], b[None, :, :], dim=-1)
+    sim_1, nn_1 = sim.max(dim=1)
+    _, nn_2 = sim.max(dim=0)
+    same = sim_1.mean().item() > 0.99
+    cyc = nn_2[nn_1]
+    t = a.shape[0]
+    idx = torch.arange(t)
+    ij = torch.stack([idx // gw, idx % gw], -1).float()
+    cij = torch.stack([cyc // gw, cyc % gw], -1).float()
+    d = -torch.nn.PairwiseDistance(p=2)(cij, ij)
+    dn = d - d.min()
+    dn = dn / (dn.max() + 1e-8)
+    eligible = set(torch.nonzero(dn >= 1.0).flatten().tolist())
+    return eligible, nn_1.numpy(), sim_1.numpy(), same
+
+
+def _random_descs(t, d, seed=0):
+    r = np.random.default_rng(seed)
+    return (r.standard_normal((t, d)).astype(np.float32),
+            r.standard_normal((t, d)).astype(np.float32))
+
+
+def test_cosine_matrix_matches_torch():
+    d1, d2 = _random_descs(49, 32)
+    ours = np.asarray(C.cosine_similarity_matrix(jnp.asarray(d1), jnp.asarray(d2),
+                                                 precision="highest"))
+    ref = torch.nn.functional.cosine_similarity(
+        torch.from_numpy(d1)[:, None, :], torch.from_numpy(d2)[None, :, :], dim=-1
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_eligible_set_matches_oracle():
+    gh = gw = 7
+    d1, d2 = _random_descs(gh * gw, 48, seed=3)
+    eligible_ref, nn1_ref, sim1_ref, same = torch_oracle_eligible(d1, d2, gw)
+    assert not same
+    res = C.find_correspondences(jnp.asarray(d1), jnp.asarray(d2), (gh, gw),
+                                 num_pairs=64, key=jax.random.PRNGKey(0),
+                                 precision="highest")
+    # with num_pairs >= t, all eligible tokens must be selected
+    got = set()
+    pts = np.asarray(res.points1)
+    val = np.asarray(res.valid)
+    for i in range(64):
+        if val[i]:
+            got.add(int(pts[i, 0]) * gw + int(pts[i, 1]))
+    assert got == eligible_ref
+    assert int(res.num_valid) == len(eligible_ref)
+    # mapping + sims agree with nn_1 / sim_1
+    p2 = np.asarray(res.points2)
+    sims = np.asarray(res.sim)
+    for i in range(int(res.num_valid)):
+        src = int(pts[i, 0]) * gw + int(pts[i, 1])
+        dst = int(p2[i, 0]) * gw + int(p2[i, 1])
+        assert dst == nn1_ref[src]
+        assert abs(sims[i] - sim1_ref[src]) < 1e-5
+
+
+def test_subsample_respects_num_pairs():
+    gh = gw = 8
+    d1, d2 = _random_descs(gh * gw, 24, seed=5)
+    res = C.find_correspondences(jnp.asarray(d1), jnp.asarray(d2), (gh, gw),
+                                 num_pairs=4, key=jax.random.PRNGKey(1),
+                                 precision="highest")
+    eligible_ref, nn1_ref, _, _ = torch_oracle_eligible(d1, d2, gw)
+    assert np.asarray(res.valid).sum() == min(4, len(eligible_ref))
+    pts = np.asarray(res.points1)
+    for i in range(int(np.asarray(res.valid).sum())):
+        assert int(pts[i, 0]) * gw + int(pts[i, 1]) in eligible_ref
+
+
+def test_same_image_shortcut():
+    gh = gw = 6
+    d1, _ = _random_descs(gh * gw, 16, seed=7)
+    res = C.find_correspondences(jnp.asarray(d1), jnp.asarray(d1), (gh, gw),
+                                 num_pairs=10, key=jax.random.PRNGKey(2),
+                                 precision="highest")
+    assert bool(res.same_image)
+    np.testing.assert_array_equal(np.asarray(res.points1), np.asarray(res.points2))
+    np.testing.assert_allclose(np.asarray(res.sim), 1.0)
+    assert int(res.num_valid) == 10
+
+
+def test_degenerate_all_perfect_cycles_yields_zero():
+    """Reference behavior: if every token has a perfect cycle (e.g. permuted
+    identical descriptors), dn = 0/(0+1e-8) = 0 < 1 selects NOTHING
+    (vitvs_v2.py:123-131 returns None).  We mark num_valid = 0."""
+    gh = gw = 4
+    t = gh * gw
+    r = np.random.default_rng(9)
+    d1 = r.standard_normal((t, 8)).astype(np.float32) * 10
+    # descriptors distinct enough that each maps to itself but sims < 0.99 mean
+    d2 = -d1  # nn_1 = argmax cos → identity of negated? ensure bijection:
+    # cos(d1_i, -d1_j) maximal at the least-aligned pair; to force perfect
+    # cycles reliably use orthogonal basis vectors
+    d1 = np.eye(t, dtype=np.float32)
+    d2 = np.eye(t, dtype=np.float32) * 0.5 - 0.1
+    eligible_ref, _, sim1, same = torch_oracle_eligible(d1, d2, gw)
+    res = C.find_correspondences(jnp.asarray(d1), jnp.asarray(d2), (gh, gw),
+                                 num_pairs=6, key=jax.random.PRNGKey(3),
+                                 precision="highest")
+    if not same:
+        assert int(res.num_valid) == len(eligible_ref)
+
+
+def test_match_points_to_pixels_reference_chain():
+    """patch -> DINO pixels -> camera pixels, vitvs_v2.py:511-513,525-553."""
+    pts = jnp.asarray([[0.0, 0.0], [10.0, 21.0]])
+    out = np.asarray(C.match_points_to_pixels(pts, 22, 308, (640, 480)))
+    scale = 308 / 22  # = 14
+    # point (row=0,col=0) -> dino (7,7) -> u = 7*640/308, v = 7*480/308
+    np.testing.assert_allclose(out[0], [round(7 * 640 / 308), round(7 * 480 / 308)])
+    y, x = 10 * scale + 7, 21 * scale + 7
+    np.testing.assert_allclose(out[1], [round(x * 640 / 308), round(y * 480 / 308)])
+
+
+def test_vmap_batching():
+    gh = gw = 5
+    t = gh * gw
+    d1 = RNG.standard_normal((3, t, 16)).astype(np.float32)
+    d2 = RNG.standard_normal((3, t, 16)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    fn = jax.vmap(lambda a, b, k: C.find_correspondences(a, b, (gh, gw), 8, k))
+    res = fn(jnp.asarray(d1), jnp.asarray(d2), keys)
+    assert res.points1.shape == (3, 8, 2)
+    assert res.valid.shape == (3, 8)

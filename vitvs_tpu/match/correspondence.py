@@ -1,0 +1,146 @@
+"""Dense patch correspondence with cyclical-consistency filtering.
+
+Rebuilds `chunk_cosine_sim` / `find_correspondences_batch` (reference
+`catkin_ws/ibvs/src/vitvs_v2.py:49-155`) for XLA:
+
+* The reference computes the all-pairs cosine similarity one row at a time in
+  a Python loop; here it is ONE matmul over L2-normalized descriptors
+  (optionally the fused Pallas kernel in :mod:`vitvs_tpu.ops.matcher`).
+* The reference's data-dependent filtering (`mask = sorted_vals >= 1`,
+  `torch.randperm`, possible `None` return) becomes a fixed-size top-k with a
+  validity mask — static shapes, jit/vmap friendly; "no matches" is
+  `num_valid == 0` instead of `None`.
+
+Numerical parity notes (kept deliberately):
+* The cyclical-distance normalization `(d - min) / (max(d - min) + 1e-8)`
+  with threshold >= 1 selects, in float32, exactly the tokens achieving the
+  maximum (usually perfect cycles) — INCLUDING the degenerate reference
+  behavior where all-equal distances select nothing (vitvs_v2.py:123-131).
+* The same-image shortcut `mean(sim_1) > 0.99` (vitvs_v2.py:84) is a
+  branch-free select here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MatchResult(NamedTuple):
+    """Fixed-size correspondence set (k = num_pairs requested).
+
+    points1/points2 are PATCH coordinates (row, col), float32; entries with
+    valid == False are padding (clamped to index 0's coords) and must be
+    masked downstream — mirroring where the reference returns fewer pairs or
+    None (vitvs_v2.py:134-155).
+    """
+
+    points1: jnp.ndarray   # (k, 2) patch (row, col) in image 1 (goal)
+    points2: jnp.ndarray   # (k, 2) patch (row, col) in image 2 (current)
+    sim: jnp.ndarray       # (k,) cosine similarity of the selected pairs
+    valid: jnp.ndarray     # (k,) bool
+    num_valid: jnp.ndarray  # () int32
+    same_image: jnp.ndarray  # () bool — the >0.99 mean-similarity shortcut
+
+
+def cosine_similarity_matrix(
+    desc1: jnp.ndarray, desc2: jnp.ndarray, precision=None
+) -> jnp.ndarray:
+    """(t1, d) x (t2, d) -> (t1, t2) cosine similarities (one MXU matmul)."""
+    a = desc1 * jax.lax.rsqrt(jnp.sum(desc1 * desc1, -1, keepdims=True) + 1e-24)
+    b = desc2 * jax.lax.rsqrt(jnp.sum(desc2 * desc2, -1, keepdims=True) + 1e-24)
+    return jnp.einsum("td,sd->ts", a, b, precision=precision)
+
+
+def _to_cartesian(idx: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Raveled patch index -> (row, col), the reference `_to_cartesian`
+    (vitvs_v2.py:58-70)."""
+    return jnp.stack([idx // width, idx % width], axis=-1)
+
+
+def find_correspondences(
+    desc1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    num_patches: tuple[int, int],
+    num_pairs: int,
+    key: jax.Array,
+    distance_threshold: float = 1.0,
+    same_image_thresh: float = 0.99,
+    sim_matrix: jnp.ndarray | None = None,
+    precision=None,
+) -> MatchResult:
+    """Mutual-NN correspondences via cyclical consistency.
+
+    desc1, desc2: (t, d) dense patch descriptors (t = gh * gw row-major).
+    Returns a fixed-size :class:`MatchResult` with `num_pairs` slots.
+    """
+    gh, gw = num_patches
+    t = desc1.shape[0]
+    assert t == gh * gw
+
+    sim = cosine_similarity_matrix(desc1, desc2, precision) if sim_matrix is None else sim_matrix
+    sim = sim.astype(jnp.float32)
+
+    sim_1 = jnp.max(sim, axis=1)          # best match quality per img1 token
+    nn_1 = jnp.argmax(sim, axis=1)        # img1 -> img2
+    nn_2 = jnp.argmax(sim, axis=0)        # img2 -> img1
+    same_image = jnp.mean(sim_1) > same_image_thresh
+
+    # Cyclical consistency: i -> nn_1[i] -> nn_2[nn_1[i]] should return to i.
+    cyc = nn_2[nn_1]
+    ij = _to_cartesian(jnp.arange(t), gw).astype(jnp.float32)
+    cyc_ij = _to_cartesian(cyc, gw).astype(jnp.float32)
+    d = -jnp.sqrt(jnp.sum(jnp.square(cyc_ij - ij), axis=-1))  # negative L2
+    dn = d - jnp.min(d)
+    dn = dn / (jnp.max(dn) + 1e-8)
+    eligible = dn >= distance_threshold   # float32-exact reference semantics
+
+    # same-image shortcut: every token eligible, identity match, sim 1.0
+    eligible = jnp.where(same_image, jnp.ones_like(eligible), eligible)
+
+    # Uniform sample of `num_pairs` eligible tokens without replacement:
+    # random scores, ineligible -> -inf, take top-k.
+    scores = jax.random.uniform(key, (t,))
+    scores = jnp.where(eligible, scores, -jnp.inf)
+    k_eff = min(num_pairs, t)
+    _, selected = jax.lax.top_k(scores, k_eff)
+    if k_eff < num_pairs:  # more slots requested than tokens exist
+        selected = jnp.pad(selected, (0, num_pairs - k_eff))
+    num_eligible = jnp.sum(eligible.astype(jnp.int32))
+    valid = jnp.arange(num_pairs) < jnp.minimum(num_eligible, k_eff)
+    selected = jnp.where(valid, selected, 0)
+
+    idx2 = jnp.where(same_image, selected, nn_1[selected])
+    sim_sel = jnp.where(same_image, jnp.ones((num_pairs,), jnp.float32), sim_1[selected])
+
+    return MatchResult(
+        points1=_to_cartesian(selected, gw).astype(jnp.float32),
+        points2=_to_cartesian(idx2, gw).astype(jnp.float32),
+        sim=sim_sel,
+        valid=valid,
+        num_valid=jnp.minimum(num_eligible, num_pairs),
+        same_image=same_image,
+    )
+
+
+def match_points_to_pixels(
+    points: jnp.ndarray,
+    num_patches_side: int,
+    dino_input_size: int,
+    image_size_uv: tuple[int, int],
+) -> jnp.ndarray:
+    """Patch (row, col) -> full-resolution pixel (u, v).
+
+    Chains the reference's two scalings: patch -> DINO-input pixels
+    `p * scale + scale/2` with scale = dino_input_size / num_patches
+    (vitvs_v2.py:511-513), then flip (row,col)->(u,v) and rescale to the
+    camera resolution with rounding (`calculate_uv`, vitvs_v2.py:525-553).
+    """
+    u_max, v_max = image_size_uv
+    scale = dino_input_size / num_patches_side
+    pix = points * scale + scale / 2.0          # (k, 2) = (y, x) in DINO input
+    uv = jnp.stack([pix[..., 1], pix[..., 0]], axis=-1)  # flip -> (u, v)
+    factors = jnp.array([u_max / dino_input_size, v_max / dino_input_size], jnp.float32)
+    return jnp.round(uv * factors)
