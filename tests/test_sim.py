@@ -1,0 +1,114 @@
+"""Simulator tests: analytic geometry, depth model, perturbations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vitvs_tpu.core.camera import CameraIntrinsics
+from vitvs_tpu.core import se3
+from vitvs_tpu.sim import Scene, env_step, make_synthetic_poster, observe, perturb_texture, render
+
+CAM = CameraIntrinsics()
+GOAL_POS = jnp.array([0.0, 0.0, 0.61])
+GOAL_QUAT = jnp.array([0.0, 0.7071068, 0.0, 0.7071068])  # vitvs_v2.py:1392
+
+
+def _scene():
+    return Scene.create(make_synthetic_poster(256), half_size=0.42, plane_z=0.005)
+
+
+def test_depth_fronto_parallel_uniform():
+    """Looking straight down at a plane, z-depth is uniform = height above
+    plane (and mm-quantized like the uint16 depth images)."""
+    rgb, depth = render(_scene(), CAM, GOAL_POS, GOAL_QUAT)
+    d = np.asarray(depth)
+    np.testing.assert_allclose(d, 0.605, atol=5e-4)  # 0.61 - 0.005
+    assert rgb.shape == (480, 640, 3)
+    # quantized to mm
+    assert np.allclose(d * 1000, np.round(d * 1000), atol=1e-3)
+
+
+def test_poster_upright_in_goal_view():
+    """Interior fiducials of the texture must project where the pinhole
+    model predicts (image-right = -y_world, image-down = -x_world)."""
+    tex = make_synthetic_poster(256)
+    rgb, _ = render(Scene.create(tex), CAM, GOAL_POS, GOAL_QUAT)
+    img = np.asarray(rgb)
+    z, hs = 0.605, 0.42
+
+    def probe(tex_row, tex_col):
+        # texture pixel -> world point -> image pixel
+        x = hs - tex_row / 255.0 * 2 * hs
+        y = hs - tex_col / 255.0 * 2 * hs
+        u = int(round(320 + 502.3016357421875 * (-y) / z))
+        v = int(round(240 + 502.3016357421875 * (-x) / z))
+        return img[v, u]
+
+    # block (3,3) of the 8x8 fiducial grid is magenta (rows/cols 96..128)
+    c = probe(112, 112)
+    assert c[0] > 0.9 and c[1] < 0.1 and c[2] > 0.9, c
+    # block (4,5) is cyan (rows 128..160, cols 160..192)
+    c = probe(144, 176)
+    assert c[0] < 0.1 and c[1] > 0.9 and c[2] > 0.9, c
+
+
+def test_background_outside_poster():
+    rgb, depth = render(_scene(), CAM, jnp.array([0.0, 0.0, 2.0]), GOAL_QUAT)
+    img = np.asarray(rgb)
+    np.testing.assert_allclose(img[0, 0], [0.5, 0.5, 0.5], atol=1e-6)
+    # depth still hits the ground plane
+    assert abs(float(depth[0, 0])) > 0
+
+
+def test_rays_missing_plane_get_zero_depth():
+    # camera looking up: no intersection -> depth 0 ("no return")
+    up_quat = jnp.asarray(np.array([0.0, -0.7071068, 0.0, 0.7071068], np.float32))
+    _, depth = render(_scene(), CAM, GOAL_POS, up_quat)
+    assert float(jnp.max(depth)) == 0.0
+
+
+def test_translation_changes_view_consistently():
+    """Moving the camera +x world shifts image content DOWN by f*dx/z pixels
+    (v = cy - f*(x - px)/z increases with px at the goal orientation)."""
+    scene = _scene()
+    rgb0, _ = render(scene, CAM, GOAL_POS, GOAL_QUAT)
+    rgb1, _ = render(scene, CAM, GOAL_POS + jnp.array([0.05, 0.0, 0.0]), GOAL_QUAT)
+    a = np.asarray(rgb0)
+    b = np.asarray(rgb1)
+    shift = int(round(502.3 * 0.05 / 0.605))
+    crop_a = a[60:-(60 + shift), 60:-60]
+    crop_b = b[shift + 60:-60, 60:-60]
+    err_aligned = np.abs(crop_a - crop_b).mean()
+    err_naive = np.abs(a[60:-60, 60:-60] - b[60:-60, 60:-60]).mean()
+    assert err_aligned < err_naive * 0.25
+
+
+def test_env_step_descends_toward_plane():
+    # optical +z (forward) motion at the goal orientation descends
+    v_c = jnp.array([0.0, 0.0, 0.1, 0.0, 0.0, 0.0])  # optical frame
+    body = se3.optical_twist_to_body(v_c)
+    pos, quat = env_step(GOAL_POS, GOAL_QUAT, body, 0.5)
+    assert float(pos[2]) < 0.61
+    np.testing.assert_allclose(np.asarray(pos[:2]), [0, 0], atol=1e-6)
+
+
+def test_perturb_texture_properties():
+    tex = jnp.asarray(make_synthetic_poster(128))
+    key = jax.random.PRNGKey(489)  # reference perturbation seed
+    out = perturb_texture(key, tex)
+    o = np.asarray(out)
+    assert o.shape == tex.shape
+    assert o.min() >= 0.0 and o.max() <= 1.0
+    assert np.abs(o - np.asarray(tex)).mean() > 0.01  # actually perturbed
+    # deterministic per key
+    np.testing.assert_array_equal(o, np.asarray(perturb_texture(key, tex)))
+    # different keys differ
+    o2 = np.asarray(perturb_texture(jax.random.PRNGKey(490), tex))
+    assert np.abs(o - o2).mean() > 1e-3
+
+
+def test_perturb_vmappable():
+    tex = jnp.asarray(make_synthetic_poster(64))
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    out = jax.vmap(lambda k: perturb_texture(k, tex))(keys)
+    assert out.shape == (8, 64, 64, 3)

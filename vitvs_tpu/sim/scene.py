@@ -1,0 +1,132 @@
+"""Textured-plane camera simulator — the Gazebo stand-in.
+
+The reference's entire scene is a textured poster lying on the ground plane
+(`catkin_ws/ibvs/launch/ibvs.launch:21-22` spawns model "resized" at
+z = 0.005 with the camera free-floating above), observed by a simulated
+RealSense producing 640x480 RGB + depth at HFOV 65 deg
+(`realsense2_description/urdf/_d435.gazebo.xacro:32-35`).  A pinhole render
+of a textured plane with analytic depth reproduces that observation model as
+a pure function — so whole closed-loop rollouts stay on-device and vmap
+across environments (SURVEY §7, sim layer).
+
+Conventions: world z-up, plane at z = plane_z; camera body frame has +x
+forward (optical axis), mapped to the optical frame via
+`se3.R_BODY_FROM_OPTICAL`.  At the reference goal pose (position (0,0,0.61),
+quat (0, 0.7071068, 0, 0.7071068) = R_y(90 deg), vitvs_v2.py:1391-1392) the
+camera looks straight down with image-right = -y_world and
+image-down = -x_world; the texture is mapped so the poster renders upright
+in the goal view.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitvs_tpu.core import se3
+from vitvs_tpu.core.camera import CameraIntrinsics
+
+
+class Scene(NamedTuple):
+    texture: jnp.ndarray       # (Ht, Wt, 3) float32 in [0, 1]
+    half_size: jnp.ndarray     # () poster half-extent in meters (square)
+    plane_z: jnp.ndarray       # () poster plane height (reference: 0.005)
+    background: jnp.ndarray    # (3,) color outside the poster
+
+    @staticmethod
+    def create(texture, half_size: float = 0.42, plane_z: float = 0.005,
+               background=(0.5, 0.5, 0.5)) -> "Scene":
+        return Scene(
+            texture=jnp.asarray(texture, jnp.float32),
+            half_size=jnp.asarray(half_size, jnp.float32),
+            plane_z=jnp.asarray(plane_z, jnp.float32),
+            background=jnp.asarray(background, jnp.float32),
+        )
+
+
+def make_synthetic_poster(size: int = 512, seed: int = 0) -> np.ndarray:
+    """High-texture synthetic poster (multi-scale value noise + shapes) for
+    tests/benches, replacing the reference's viso poster JPEG asset."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((size, size, 3), np.float32)
+    for octave in range(2, 7):
+        n = 2 ** octave
+        coarse = rng.random((n, n, 3)).astype(np.float32)
+        reps = size // n
+        up = np.kron(coarse, np.ones((reps, reps, 1), np.float32))
+        img += up / (7 - octave)
+    img /= img.max()
+    # distinctive high-contrast fiducial squares to anchor correspondences
+    qs = size // 8
+    for (r, c), color in [((0, 0), (1, 0, 0)), ((0, 7), (0, 1, 0)),
+                          ((7, 0), (0, 0, 1)), ((7, 7), (1, 1, 0)),
+                          ((3, 3), (1, 0, 1)), ((4, 5), (0, 1, 1))]:
+        img[r * qs:(r + 1) * qs, c * qs:(c + 1) * qs] = color
+    return np.clip(img, 0, 1)
+
+
+def _bilinear_sample(tex: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear texture lookup; rows/cols in continuous pixel coords."""
+    ht, wt, _ = tex.shape
+    r0 = jnp.floor(rows)
+    c0 = jnp.floor(cols)
+    fr = (rows - r0)[..., None]
+    fc = (cols - c0)[..., None]
+    r0 = jnp.clip(r0.astype(jnp.int32), 0, ht - 1)
+    c0 = jnp.clip(c0.astype(jnp.int32), 0, wt - 1)
+    r1 = jnp.clip(r0 + 1, 0, ht - 1)
+    c1 = jnp.clip(c0 + 1, 0, wt - 1)
+    v00 = tex[r0, c0]
+    v01 = tex[r0, c1]
+    v10 = tex[r1, c0]
+    v11 = tex[r1, c1]
+    top = v00 * (1 - fc) + v01 * fc
+    bot = v10 * (1 - fc) + v11 * fc
+    return top * (1 - fr) + bot * fr
+
+
+def render(
+    scene: Scene,
+    cam: CameraIntrinsics,
+    position: jnp.ndarray,
+    quat: jnp.ndarray,
+    quantize_depth_mm: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Render (rgb (H,W,3) in [0,1], depth (H,W) meters) from a camera pose.
+
+    Depth is z-depth along the optical axis, quantized to millimeters by
+    default to reproduce the uint16-mm depth images the reference's C++
+    plugin publishes (`RealSensePlugin.cpp:242-276`, DEPTH_SCALE_M 0.001);
+    rays missing the plane get depth 0 ("no return"), which downstream
+    becomes the 100 m sentinel (control.depth_at_points).
+    """
+    d_c = cam.ray_directions()                      # (H, W, 3) optical frame
+    r_wb = se3.matrix_from_quat(quat)               # (3, 3)
+    r_wc = r_wb @ se3.R_BODY_FROM_OPTICAL
+    d_w = jnp.einsum("ij,hwj->hwi", r_wc, d_c)      # (H, W, 3) world
+    pz = position[2]
+    denom = d_w[..., 2]
+    t = (scene.plane_z - pz) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    hit = t > 1e-6                                  # plane in front of camera
+    pt = position + t[..., None] * d_w              # (H, W, 3) world points
+
+    ht, wt, _ = scene.texture.shape
+    hs = scene.half_size
+    # poster upright in the goal view: image-right = -y, image-down = -x
+    cols = (hs - pt[..., 1]) / (2 * hs) * (wt - 1)
+    rows = (hs - pt[..., 0]) / (2 * hs) * (ht - 1)
+    on_poster = (
+        hit
+        & (jnp.abs(pt[..., 0]) <= hs)
+        & (jnp.abs(pt[..., 1]) <= hs)
+    )
+    rgb = _bilinear_sample(scene.texture, rows, cols)
+    rgb = jnp.where(on_poster[..., None], rgb, scene.background)
+
+    depth = jnp.where(hit, t, 0.0)
+    if quantize_depth_mm:
+        depth = jnp.round(depth * 1000.0) / 1000.0
+    return rgb, depth
