@@ -1,0 +1,182 @@
+"""End-to-end closed-loop tests: render -> ViT -> match -> control -> integrate.
+
+Uses a tiny random-weight ViT (random patch projections preserve patch
+similarity well enough for matching on a high-texture poster) and an
+aggressive gain so convergence is visible in ~100 iterations on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vitvs_tpu.harness.pipeline import ServoModel, goal_descriptors, servo_step
+from vitvs_tpu.harness.rollout import find_best_start_pose, pose_errors, rollout_episode
+from vitvs_tpu.harness import results as results_mod
+from vitvs_tpu.harness import evals
+from vitvs_tpu.control import EmaState
+from vitvs_tpu.core import se3
+from vitvs_tpu.io_bridge.config import VSConfig
+from vitvs_tpu.models import vit as vit_mod
+from vitvs_tpu.sim import Scene, make_synthetic_poster, observe
+
+GOAL_POS = jnp.array([0.0, 0.0, 0.61])
+GOAL_QUAT = jnp.array([0.0, 0.7071068, 0.0, 0.7071068])
+
+
+def tiny_setup(num_pairs=16, lam=0.5, dt=0.1, max_iterations=120,
+               pixel_identity=False, **cfg_kw):
+    cfg = VSConfig(
+        u_max=128, v_max=128, f_x=100.5, f_y=100.5,
+        dino_input_size=112, num_pairs=num_pairs,
+        lambda_=lam, control_dt=dt, ema_alpha=0.8,
+        use_feature_binning=True,
+        layer=0, model_name="tiny", max_iterations=max_iterations,
+        min_iterations=min(300, max_iterations),
+        pinv_mode="dls",
+        **cfg_kw,
+    )
+    # patch 8 on a 112 input -> 14x14 grid: patch footprint ~6 cm at 0.6 m,
+    # fine enough for visible convergence (patch matching cannot correct
+    # sub-patch pose errors — true of the reference's 22x22 grid as well).
+    dim = 8 * 8 * 3 if pixel_identity else 128
+    vcfg = vit_mod.ViTConfig(patch_size=8, embed_dim=dim, depth=1, num_heads=4,
+                             pos_grid=16, stride=8, model_name="tiny")
+    model = ServoModel(vit=vcfg, cfg=cfg, compute_dtype=jnp.float32, precision=None)
+    params = vit_mod.init_vit(vcfg, jax.random.PRNGKey(0))
+    # Random-weight test model: zero the pos embed so descriptors are
+    # content-dominated.  (With trained DINOv2 weights content dominates
+    # naturally; with random weights the shared pos embed would push mean
+    # similarity over the 0.99 same-image shortcut and freeze the loop.)
+    params["pos_embed"] = jnp.zeros_like(params["pos_embed"])
+    if pixel_identity:
+        # descriptors ~= raw patch pixels: identity patch embed + a block
+        # whose residuals are negligible (LayerScale ~ 0) => cosine matching
+        # degenerates to patch template matching (fully discriminative).
+        params["patch_embed"]["kernel"] = jnp.eye(dim).reshape(8, 8, 3, dim)
+        params["blocks"]["ls1"] = params["blocks"]["ls1"] * 1e-8
+        params["blocks"]["ls2"] = params["blocks"]["ls2"] * 1e-8
+    scene = Scene.create(make_synthetic_poster(256, seed=3), half_size=0.42)
+    return params, model, scene
+
+
+# ServoModel.create looks up cfg.model_name in presets; build directly above.
+
+
+def test_servo_step_shapes_and_zero_at_goal():
+    params, model, scene = tiny_setup()
+    rgb, depth = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+    goal_desc = goal_descriptors(params, model, rgb)
+    step = servo_step(params, model, goal_desc, rgb, depth,
+                      EmaState.init(), jnp.zeros(6), jax.random.PRNGKey(1))
+    assert step.v_c.shape == (6,)
+    assert bool(step.feature_ok)
+    # same image => same-image shortcut, error ~ 0 => near-zero velocity
+    assert int(step.num_valid) >= 4
+    np.testing.assert_allclose(np.asarray(step.v_c), 0.0, atol=1e-4)
+
+
+def test_servo_step_drives_toward_goal():
+    """From a pure-z offset the commanded optical velocity must be dominated
+    by +z (approach) when too far."""
+    params, model, scene = tiny_setup(pixel_identity=True)
+    goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+    goal_desc = goal_descriptors(params, model, goal_rgb)
+    far_pos = GOAL_POS + jnp.array([0.0, 0.0, 0.10])  # higher above plane
+    rgb, depth = observe(scene, model.camera, far_pos, GOAL_QUAT)
+    step = servo_step(params, model, goal_desc, rgb, depth,
+                      EmaState.init(), jnp.zeros(6), jax.random.PRNGKey(2))
+    v = np.asarray(step.v_c)
+    assert bool(step.feature_ok)
+    # optical z is the approach axis; being too high => move forward (+z).
+    # (Random-weight descriptors are noisy; only the approach sign is a
+    # robust invariant here — closed-loop convergence is tested below.)
+    assert v[2] > 0, v
+
+
+@pytest.mark.parametrize("offset,rot_deg", [
+    (np.array([0.10, -0.08, 0.15]), 0.0),
+    (np.array([-0.08, 0.06, 0.12]), 15.0),
+])
+def test_closed_loop_error_decreases(offset, rot_deg):
+    params, model, scene = tiny_setup(max_iterations=120)
+    goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+    goal_desc = goal_descriptors(params, model, goal_rgb)
+
+    start_pos = GOAL_POS + jnp.asarray(offset, jnp.float32)
+    start_quat = se3.rotate_about_body_x(GOAL_QUAT, np.radians(rot_deg))
+    e0t, e0r = pose_errors(start_pos, start_quat, GOAL_POS, GOAL_QUAT)
+
+    run = jax.jit(lambda p, gd, sp, sq, k: rollout_episode(
+        p, model, scene, gd, sp, sq, k, num_steps=120))
+    res = run(params, goal_desc, start_pos, start_quat, jax.random.PRNGKey(5))
+
+    et = float(res.error_history[-1, 0])
+    er = float(res.error_history[-1, 1])
+    assert et < 0.5 * float(e0t), f"translation error {et} vs initial {float(e0t)}"
+    if rot_deg > 0:
+        assert er < 0.75 * float(e0r), f"rotation error {er} vs initial {float(e0r)}"
+    assert not bool(res.aborted)
+    assert res.position_history.shape == (120, 3)
+
+
+def test_rollout_vmap_batched():
+    params, model, scene = tiny_setup(max_iterations=30)
+    goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+    goal_desc = goal_descriptors(params, model, goal_rgb)
+    starts = GOAL_POS + jnp.asarray(
+        np.random.default_rng(0).uniform(-0.05, 0.05, (3, 3)), jnp.float32)
+    quats = jnp.broadcast_to(GOAL_QUAT, (3, 4))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    run = jax.jit(jax.vmap(
+        lambda sp, sq, k: rollout_episode(params, model, scene, goal_desc,
+                                          sp, sq, k, num_steps=30)))
+    res = run(starts, quats, keys)
+    assert res.position_history.shape == (3, 30, 3)
+    assert res.error_history.shape == (3, 30, 2)
+
+
+def test_find_best_start_pose_undoes_spin():
+    """A start pose spun 180 deg about the optical axis must be corrected to
+    (approximately) the unspun orientation by the 4-angle search."""
+    params, model, _ = tiny_setup(pixel_identity=True)
+    # smooth texture: similarity degrades gracefully under misalignment, so
+    # the mean-similarity criterion discriminates orientation (with real
+    # DINOv2 features the smoothness comes from the features themselves)
+    scene = Scene.create(make_synthetic_poster(256, seed=3, octaves=(2, 5)),
+                         half_size=0.42)
+    goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+    goal_desc = goal_descriptors(params, model, goal_rgb)
+    spun = se3.rotate_about_body_x(GOAL_QUAT, np.radians(180.0))
+    pos = GOAL_POS + jnp.array([0.0, 0.0, 0.05])
+    _, best_quat = find_best_start_pose(params, model, scene, goal_desc,
+                                        pos, spun, jax.random.PRNGKey(3))
+    # best = spun + 180 => aligned with goal (up to quaternion sign)
+    ang = float(jnp.degrees(se3.quat_error_angle(best_quat, GOAL_QUAT)))
+    assert ang < 5.0, ang
+
+
+def test_results_roundtrip_and_evals(tmp_path):
+    params, model, scene = tiny_setup(max_iterations=40)
+    goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+    goal_desc = goal_descriptors(params, model, goal_rgb)
+    starts = np.asarray(GOAL_POS) + np.array([[0.02, 0.0, 0.04], [0.0, 0.03, 0.06]])
+    quats = np.broadcast_to(np.asarray(GOAL_QUAT), (2, 4))
+    run = jax.jit(lambda sp, sq, k: rollout_episode(
+        params, model, scene, goal_desc, sp, sq, k, num_steps=40))
+    eps = [run(jnp.asarray(starts[i], jnp.float32), jnp.asarray(quats[i], jnp.float32),
+               jax.random.PRNGKey(i)) for i in range(2)]
+    eps = [jax.tree.map(np.asarray, e) for e in eps]
+    # force one "converged" flag for eval coverage
+    eps[0] = eps[0]._replace(converged=np.asarray(True), iterations=np.asarray(40))
+    summ = results_mod.episode_summaries(eps, starts, quats)
+    path = results_mod.save_results(str(tmp_path), summ, 12.3,
+                                    config_name="tiny", method="dino")
+    assert path.endswith("results_tiny_dino_standard.npz")
+
+    stats = evals.convergence_stats(path)
+    assert stats.num_samples == 2 and stats.num_converged == 1
+    (pm, ps), (rm, rs) = evals.ape(path)
+    assert np.isfinite(pm) and np.isfinite(rm)
+    lr = evals.length_ratio(path)
+    assert np.isfinite(lr[0])

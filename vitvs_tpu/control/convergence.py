@@ -74,19 +74,26 @@ def convergence_step(
     err_trans_cm: jnp.ndarray,
     err_rot_deg: jnp.ndarray,
     cfg: VSConfig,
+    update_velocity: jnp.ndarray | bool = True,
 ) -> ConvergenceState:
     """One servo iteration's bookkeeping + stop decision.
 
     Call AFTER computing the smoothed velocity command and the current
     ground-truth errors.  Once done is set, the state freezes (mask-friendly
     for fixed-length scans / batched rollouts).
+
+    `update_velocity=False` reproduces a feature-failure iteration: the
+    reference skips the history append (ibvs early-returns before
+    vitvs_v2.py:625-628) while the outer loop still counts the iteration.
     """
     frozen = state.done
+    update_velocity = jnp.asarray(update_velocity)
 
     # --- velocity history (vitvs_v2.py:625-628, capped ring of 200)
     write_pos = state.vel_count % WINDOW
-    vel_buffer = state.vel_buffer.at[write_pos].set(v_c.astype(jnp.float32))
-    vel_count = state.vel_count + 1
+    written = state.vel_buffer.at[write_pos].set(v_c.astype(jnp.float32))
+    vel_buffer = jnp.where(update_velocity, written, state.vel_buffer)
+    vel_count = state.vel_count + update_velocity.astype(jnp.int32)
     iteration = state.iteration + 1
 
     e0t = state.initial_err_trans

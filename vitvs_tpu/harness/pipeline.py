@@ -1,0 +1,207 @@
+"""The per-frame servo pipeline: ONE jitted graph from camera frame to
+velocity command.
+
+This collapses the reference's L3+L4 hot loop (`Controller.ibvs` ->
+`detect_features` -> `find_correspondences_batch` -> `get_depth` ->
+`calculate_interaction_matrix` -> pinv -> EMA, SURVEY §3.2) into a single
+pure function.  Every ROS/process boundary the reference crosses per frame
+becomes in-graph dataflow; host I/O exists only at the graph edge
+(io_bridge).
+
+Reference behavior notes:
+* Goal descriptors are a loop invariant (the goal image is a fixed file,
+  vitvs_v2.py:264) — the reference recomputes them EVERY frame with a second
+  full ViT forward (vitvs_v2.py:482-487); here they are computed once per
+  episode, halving ViT compute with bit-identical results.
+* When fewer than `num_pairs` matches survive, the reference zero-pads the
+  pixel arrays and feeds phantom (0,0) points into the control law
+  (`calculate_uv`, vitvs_v2.py:533-553).  The default here masks invalid
+  pairs out of the least-squares solve; set
+  ``VSConfig.reference_pad_bug=True`` for bug-compatible behavior.
+* Fewer than 4 valid matches => feature failure: the previous velocity
+  command is retained and the EMA/history are not updated, matching the
+  early return in `ibvs` (vitvs_v2.py:597-605) + reuse of `self.v_c`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vitvs_tpu.core import image as image_ops
+from vitvs_tpu.core.camera import CameraIntrinsics
+from vitvs_tpu.control import (
+    EmaState,
+    body_twist_from_optical,
+    depth_at_points,
+    ema_update,
+    ibvs_velocity,
+)
+from vitvs_tpu.io_bridge.config import VSConfig
+from vitvs_tpu.match import find_correspondences, match_points_to_pixels
+from vitvs_tpu.models.extractor import extract_descriptors
+from vitvs_tpu.models.vit import ViTConfig, ViTParams, make_config
+
+
+@dataclasses.dataclass(frozen=True)
+class ServoModel:
+    """Static bundle: ViT architecture + servo config + camera intrinsics.
+
+    Frozen/hashable => usable as a jit-static argument; the params pytree
+    travels separately.
+    """
+
+    vit: ViTConfig
+    cfg: VSConfig
+    compute_dtype: Any = jnp.bfloat16
+    precision: Any = None
+    # route the match argmax through the fused Pallas kernel (ops/matcher.py);
+    # automatically falls back to XLA off-TPU
+    use_match_kernel: bool = False
+
+    @staticmethod
+    def create(cfg: VSConfig, compute_dtype=jnp.bfloat16, precision=None) -> "ServoModel":
+        return ServoModel(
+            vit=make_config(cfg.model_name, cfg.stride),
+            cfg=cfg,
+            compute_dtype=compute_dtype,
+            precision=precision,
+        )
+
+    @property
+    def camera(self) -> CameraIntrinsics:
+        c = self.cfg
+        return CameraIntrinsics(width=c.u_max, height=c.v_max, fx=c.f_x, fy=c.f_y)
+
+    @property
+    def mean(self):
+        return image_ops.IMAGENET_MEAN if "dino" in self.cfg.model_name else image_ops.HALF_MEAN
+
+    @property
+    def std(self):
+        return image_ops.IMAGENET_STD if "dino" in self.cfg.model_name else image_ops.HALF_STD
+
+    def grid(self) -> tuple[int, int]:
+        return self.vit.num_patches(self.cfg.dino_input_size, self.cfg.dino_input_size)
+
+
+class StepResult(NamedTuple):
+    v_c: jnp.ndarray          # (6,) smoothed optical-frame velocity
+    body_twist: jnp.ndarray   # (6,) clipped body-frame command
+    ema: EmaState
+    feature_ok: jnp.ndarray   # () bool — >= 4 valid correspondences
+    num_valid: jnp.ndarray    # () int32
+    mean_sim: jnp.ndarray     # () mean similarity of selected matches
+    s_uv: jnp.ndarray         # (k, 2) current-image pixel features
+    s_uv_star: jnp.ndarray    # (k, 2) goal-image pixel features
+    valid: jnp.ndarray        # (k,) bool
+
+
+def preprocess(model: ServoModel, rgb: jnp.ndarray) -> jnp.ndarray:
+    """Camera frame -> normalized ViT input (reference vitvs_v2.py:474-480)."""
+    return image_ops.preprocess_frame(
+        rgb, model.cfg.dino_input_size, model.mean, model.std,
+        method="bicubic", antialias=True,
+    )
+
+
+def goal_descriptors(params: ViTParams, model: ServoModel, goal_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Per-episode goal descriptor precompute -> (t, d)."""
+    x = preprocess(model, goal_rgb)[None]
+    desc = extract_descriptors(
+        params, model.vit, x, layer=model.cfg.layer, facet=model.cfg.facet,
+        bin=model.cfg.use_feature_binning,
+        compute_dtype=model.compute_dtype, precision=model.precision,
+    )
+    return desc[0, 0]
+
+
+def servo_step(
+    params: ViTParams,
+    model: ServoModel,
+    goal_desc: jnp.ndarray,
+    frame_rgb: jnp.ndarray,
+    frame_depth_m: jnp.ndarray,
+    ema: EmaState,
+    prev_v_c: jnp.ndarray,
+    key: jax.Array,
+    num_pairs: int | None = None,
+) -> StepResult:
+    """One complete servo iteration (the hot loop body, SURVEY §3.2).
+
+    frame_rgb: (H, W, 3) uint8 or float [0,1] camera frame.
+    frame_depth_m: (H, W) z-depth in meters (0 = no return).
+    Returns the smoothed optical velocity, the clipped body twist, and
+    match diagnostics.
+    """
+    cfg = model.cfg
+    k = num_pairs or cfg.num_pairs
+
+    x = preprocess(model, frame_rgb)[None]
+    cur_desc = extract_descriptors(
+        params, model.vit, x, layer=cfg.layer, facet=cfg.facet,
+        bin=cfg.use_feature_binning,
+        compute_dtype=model.compute_dtype, precision=model.precision,
+    )[0, 0]
+
+    grid = model.grid()
+    match = find_correspondences(
+        goal_desc, cur_desc, grid, k, key,
+        precision=model.precision, use_kernel=model.use_match_kernel,
+    )
+
+    # patch -> camera pixels (goal points = image1, current = image2)
+    s_uv_star = match_points_to_pixels(match.points1, grid[0], cfg.dino_input_size,
+                                       (cfg.u_max, cfg.v_max))
+    s_uv = match_points_to_pixels(match.points2, grid[0], cfg.dino_input_size,
+                                  (cfg.u_max, cfg.v_max))
+
+    feature_ok = match.num_valid >= 4
+    cam = model.camera
+
+    if getattr(cfg, "reference_pad_bug", False):
+        # bug-compatible: phantom (0,0) pixels for invalid slots
+        pad = jnp.zeros_like(s_uv)
+        s_uv_eff = jnp.where(match.valid[:, None], s_uv, pad)
+        s_uv_star_eff = jnp.where(match.valid[:, None], s_uv_star, pad)
+        valid_for_solve = None
+    else:
+        s_uv_eff, s_uv_star_eff = s_uv, s_uv_star
+        valid_for_solve = match.valid
+
+    s_xy = cam.pixel_to_normalized(s_uv_eff)
+    s_star_xy = cam.pixel_to_normalized(s_uv_star_eff)
+    Z = depth_at_points(frame_depth_m, s_uv_eff)
+
+    v_raw = ibvs_velocity(
+        s_xy, s_star_xy, Z, cfg.lambda_, valid=valid_for_solve,
+        mode=cfg.pinv_mode, damping=cfg.pinv_damping,
+    )
+
+    # feature failure => keep previous command, frozen EMA (vitvs_v2.py:597-605)
+    ema_new, v_smoothed = ema_update(ema, v_raw, cfg.ema_alpha)
+    v_c = jnp.where(feature_ok, v_smoothed, prev_v_c)
+    ema_out = EmaState(
+        value=jnp.where(feature_ok, ema_new.value, ema.value),
+        initialized=jnp.where(feature_ok, ema_new.initialized, ema.initialized),
+    )
+
+    body = body_twist_from_optical(v_c, cfg.max_velocity)
+
+    sim_sum = jnp.sum(jnp.where(match.valid, match.sim, 0.0))
+    mean_sim = sim_sum / jnp.maximum(match.num_valid, 1)
+
+    return StepResult(
+        v_c=v_c,
+        body_twist=body,
+        ema=ema_out,
+        feature_ok=feature_ok,
+        num_valid=match.num_valid,
+        mean_sim=jnp.where(match.num_valid > 0, mean_sim, -jnp.inf),
+        s_uv=s_uv,
+        s_uv_star=s_uv_star,
+        valid=match.valid,
+    )

@@ -1,0 +1,227 @@
+"""Closed-loop episode rollouts, fully on-device.
+
+`rollout_episode` is the TPU replacement for `Controller.run`
+(reference vitvs_v2.py:702-815): a `lax.scan` over servo iterations whose
+body is {render -> servo_step -> integrate -> convergence bookkeeping}.
+Because it is a pure function of (params, scene, start pose, key), it
+vmaps across environments and shards across a device mesh (parallel/).
+
+Reference-parity details carried over:
+* per-iteration ground-truth errors from the sim pose (calculate_end_error,
+  vitvs_v2.py:843-861);
+* feature-failure counter aborting a sample after 10 consecutive failures
+  (vitvs_v2.py:500-505), reported as done-not-converged with inf errors
+  (vitvs_v2.py:748-757);
+* the 4-orientation rotation-compensation search scored by mean match
+  similarity with num_pairs temporarily raised to 48
+  (`find_and_set_best_pose`, vitvs_v2.py:1151-1189) — here one BATCHED ViT
+  forward over the 4 candidate views instead of 4 sequential sim round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vitvs_tpu.control import EmaState, ConvergenceState, convergence_init, convergence_step
+from vitvs_tpu.core import se3
+from vitvs_tpu.harness.pipeline import ServoModel, StepResult, goal_descriptors, preprocess, servo_step
+from vitvs_tpu.harness.samplers import DESIRED_ORIENTATION, DESIRED_POSITION
+from vitvs_tpu.match import find_correspondences
+from vitvs_tpu.models.extractor import extract_descriptors
+from vitvs_tpu.sim import Scene, env_step, observe
+
+
+def pose_errors(position, quat, desired_position, desired_quat):
+    """(translation error cm, rotation error deg) — calculate_end_error
+    (vitvs_v2.py:843-861)."""
+    t = jnp.linalg.norm(position - desired_position) * 100.0
+    r = jnp.degrees(se3.quat_error_angle(quat, desired_quat))
+    return t, r
+
+
+class EpisodeCarry(NamedTuple):
+    position: jnp.ndarray
+    quat: jnp.ndarray
+    ema: EmaState
+    prev_v_c: jnp.ndarray
+    conv: ConvergenceState
+    fail_count: jnp.ndarray
+    aborted: jnp.ndarray
+    lowest_pos_err: jnp.ndarray
+    lowest_rot_err: jnp.ndarray
+    key: jax.Array
+
+
+class EpisodeResult(NamedTuple):
+    """Mirrors the reference `Controller.run` 19-tuple (vitvs_v2.py:802-815),
+    as fixed-shape arrays + an `active` mask over history steps."""
+
+    final_position: jnp.ndarray       # (3,)
+    final_quat: jnp.ndarray           # (4,)
+    converged: jnp.ndarray            # () bool
+    position_error: jnp.ndarray       # () cm (inf when aborted)
+    orientation_error: jnp.ndarray    # () deg
+    position_history: jnp.ndarray     # (T, 3)
+    orientation_history: jnp.ndarray  # (T, 4)
+    iterations: jnp.ndarray           # () int32
+    lowest_position_error: jnp.ndarray
+    lowest_orientation_error: jnp.ndarray
+    v_c_history: jnp.ndarray          # (T, 6) optical-frame smoothed commands
+    applied_twist_history: jnp.ndarray  # (T, 6) clipped body twists
+    error_history: jnp.ndarray        # (T, 2) (cm, deg)
+    active: jnp.ndarray               # (T,) bool — step actually executed
+    aborted: jnp.ndarray              # () bool — persistent feature failure
+
+
+def rollout_episode(
+    params,
+    model: ServoModel,
+    scene: Scene,
+    goal_desc: jnp.ndarray,
+    start_position: jnp.ndarray,
+    start_quat: jnp.ndarray,
+    key: jax.Array,
+    desired_position: jnp.ndarray | None = None,
+    desired_quat: jnp.ndarray | None = None,
+    num_steps: int | None = None,
+) -> EpisodeResult:
+    cfg = model.cfg
+    cam = model.camera
+    desired_position = (jnp.asarray(DESIRED_POSITION, jnp.float32)
+                        if desired_position is None else desired_position)
+    desired_quat = (jnp.asarray(DESIRED_ORIENTATION, jnp.float32)
+                    if desired_quat is None else desired_quat)
+    T = num_steps or cfg.max_iterations
+
+    e0t, e0r = pose_errors(start_position, start_quat, desired_position, desired_quat)
+
+    carry0 = EpisodeCarry(
+        position=start_position.astype(jnp.float32),
+        quat=start_quat.astype(jnp.float32),
+        ema=EmaState.init(),
+        prev_v_c=jnp.zeros(6, jnp.float32),
+        conv=convergence_init(e0t, e0r),
+        fail_count=jnp.zeros((), jnp.int32),
+        aborted=jnp.zeros((), bool),
+        lowest_pos_err=jnp.asarray(jnp.inf),
+        lowest_rot_err=jnp.asarray(jnp.inf),
+        key=key,
+    )
+
+    def body(carry: EpisodeCarry, _):
+        frozen = carry.conv.done | carry.aborted
+        key, sub = jax.random.split(carry.key)
+
+        rgb, depth = observe(scene, cam, carry.position, carry.quat)
+        step: StepResult = servo_step(
+            params, model, goal_desc, rgb, depth,
+            carry.ema, carry.prev_v_c, sub,
+        )
+
+        fail_count = jnp.where(step.feature_ok, 0, carry.fail_count + 1)
+        aborted = carry.aborted | (fail_count >= cfg.max_feature_failures)
+
+        position, quat = env_step(carry.position, carry.quat, step.body_twist,
+                                  cfg.control_dt)
+        et, er = pose_errors(position, quat, desired_position, desired_quat)
+        conv = convergence_step(carry.conv, step.v_c, et, er, cfg,
+                                update_velocity=step.feature_ok)
+
+        new = EpisodeCarry(
+            position=position,
+            quat=quat,
+            ema=step.ema,
+            prev_v_c=step.v_c,
+            conv=conv,
+            fail_count=fail_count,
+            aborted=aborted,
+            lowest_pos_err=jnp.minimum(carry.lowest_pos_err, et),
+            lowest_rot_err=jnp.minimum(carry.lowest_rot_err, er),
+            key=key,
+        )
+        # freeze the whole carry once done/aborted
+        carry_out = jax.tree.map(
+            lambda old, nw: jnp.where(frozen, old, nw), carry, new
+        )
+        ys = {
+            "position": carry_out.position,
+            "quat": carry_out.quat,
+            "v_c": jnp.where(frozen, jnp.zeros(6), step.v_c),
+            "twist": jnp.where(frozen, jnp.zeros(6), step.body_twist),
+            "err": jnp.stack([et, er]),
+            "active": ~frozen,
+        }
+        return carry_out, ys
+
+    carry, ys = jax.lax.scan(body, carry0, None, length=T)
+
+    final_et, final_er = pose_errors(carry.position, carry.quat,
+                                     desired_position, desired_quat)
+    inf = jnp.asarray(jnp.inf)
+    return EpisodeResult(
+        final_position=carry.position,
+        final_quat=carry.quat,
+        converged=carry.conv.converged & ~carry.aborted,
+        position_error=jnp.where(carry.aborted, inf, final_et),
+        orientation_error=jnp.where(carry.aborted, inf, final_er),
+        position_history=ys["position"],
+        orientation_history=ys["quat"],
+        iterations=carry.conv.iteration,
+        lowest_position_error=jnp.where(carry.aborted, inf, carry.lowest_pos_err),
+        lowest_orientation_error=jnp.where(carry.aborted, inf, carry.lowest_rot_err),
+        v_c_history=ys["v_c"],
+        applied_twist_history=ys["twist"],
+        error_history=ys["err"],
+        active=ys["active"],
+        aborted=carry.aborted,
+    )
+
+
+def find_best_start_pose(
+    params,
+    model: ServoModel,
+    scene: Scene,
+    goal_desc: jnp.ndarray,
+    position: jnp.ndarray,
+    quat: jnp.ndarray,
+    key: jax.Array,
+    num_pairs: int = 48,
+    angles_deg=(0.0, 90.0, 180.0, 270.0),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotation compensation: pick the optical-axis spin whose matches score
+    the highest mean similarity (vitvs_v2.py:1151-1189).
+
+    One batched render + ViT forward over all candidate orientations.
+    Returns (position, best_quat).
+    """
+    cfg = model.cfg
+    cam = model.camera
+    angles = jnp.radians(jnp.asarray(angles_deg, jnp.float32))
+    quats = jax.vmap(lambda a: se3.rotate_about_body_x(quat, a))(angles)
+
+    def render_one(q):
+        rgb, _ = observe(scene, cam, position, q)
+        return preprocess(model, rgb)
+
+    frames = jax.vmap(render_one)(quats)  # (A, S, S, 3)
+    descs = extract_descriptors(
+        params, model.vit, frames, layer=cfg.layer, facet=cfg.facet,
+        bin=cfg.use_feature_binning,
+        compute_dtype=model.compute_dtype, precision=model.precision,
+    )[:, 0]  # (A, t, d)
+
+    grid = model.grid()
+    keys = jax.random.split(key, len(angles_deg))
+
+    def score_one(desc, k):
+        m = find_correspondences(goal_desc, desc, grid, num_pairs, k,
+                                 precision=model.precision)
+        s = jnp.sum(jnp.where(m.valid, m.sim, 0.0)) / jnp.maximum(m.num_valid, 1)
+        return jnp.where(m.num_valid > 0, s, -jnp.inf)
+
+    scores = jax.vmap(score_one)(descs, keys)
+    best = jnp.argmax(scores)
+    return position, quats[best]

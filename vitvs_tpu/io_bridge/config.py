@@ -72,6 +72,12 @@ class VSConfig:
     # 5x for the classical controller (ibvs_standard.py:215)
     divergence_multiplier: float = 2.0
     control_dt: float = 0.02  # actuation at 50 Hz (gazebo_vel_broadcaster.py:59)
+    # Reproduce the reference's zero-padding of missing matches into phantom
+    # (0,0) pixel features (`calculate_uv`, vitvs_v2.py:533-553).  Default off:
+    # invalid pairs are masked out of the least-squares solve instead.
+    reference_pad_bug: bool = False
+    # consecutive feature failures before aborting a sample (vitvs_v2.py:500-505)
+    max_feature_failures: int = 10
 
     @property
     def c_x(self) -> float:

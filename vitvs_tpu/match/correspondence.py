@@ -70,22 +70,31 @@ def find_correspondences(
     same_image_thresh: float = 0.99,
     sim_matrix: jnp.ndarray | None = None,
     precision=None,
+    use_kernel: bool = False,
 ) -> MatchResult:
     """Mutual-NN correspondences via cyclical consistency.
 
     desc1, desc2: (t, d) dense patch descriptors (t = gh * gw row-major).
     Returns a fixed-size :class:`MatchResult` with `num_pairs` slots.
+
+    use_kernel=True routes the similarity matmul + dual argmax through the
+    fused Pallas kernel (ops/matcher.py) — the (t x t) matrix never leaves
+    VMEM.  Off-TPU the kernel falls back to the XLA path automatically.
     """
     gh, gw = num_patches
     t = desc1.shape[0]
     assert t == gh * gw
 
-    sim = cosine_similarity_matrix(desc1, desc2, precision) if sim_matrix is None else sim_matrix
-    sim = sim.astype(jnp.float32)
+    if use_kernel and sim_matrix is None:
+        from vitvs_tpu.ops.matcher import dual_argmax_cosine
 
-    sim_1 = jnp.max(sim, axis=1)          # best match quality per img1 token
-    nn_1 = jnp.argmax(sim, axis=1)        # img1 -> img2
-    nn_2 = jnp.argmax(sim, axis=0)        # img2 -> img1
+        sim_1, nn_1, _, nn_2 = dual_argmax_cosine(desc1, desc2)
+    else:
+        sim = cosine_similarity_matrix(desc1, desc2, precision) if sim_matrix is None else sim_matrix
+        sim = sim.astype(jnp.float32)
+        sim_1 = jnp.max(sim, axis=1)          # best match quality per img1 token
+        nn_1 = jnp.argmax(sim, axis=1)        # img1 -> img2
+        nn_2 = jnp.argmax(sim, axis=0)        # img2 -> img1
     same_image = jnp.mean(sim_1) > same_image_thresh
 
     # Cyclical consistency: i -> nn_1[i] -> nn_2[nn_1[i]] should return to i.

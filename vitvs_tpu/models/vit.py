@@ -53,6 +53,8 @@ class ViTConfig:
     qkv_bias: bool = True
     stride: int = 14             # patch-embed stride override (dinov2_extractor.py:122-144)
     ln_eps: float = 1e-6
+    # attention implementation: 'auto' = Pallas kernel on TPU, XLA elsewhere
+    attn_impl: str = "auto"      # 'auto' | 'xla' | 'pallas'
     # 'dino' models normalize with ImageNet stats, timm ones with 0.5 (extractor.py:49-50)
     model_name: str = "dinov2_vits14"
 
@@ -174,10 +176,18 @@ def _attention(
     qkv = jnp.einsum("btd,de->bte", x_norm, bp["qkv_kernel"], precision=precision) + bp["qkv_bias"]
     qkv = qkv.reshape(B, T, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
-    scale = 1.0 / math.sqrt(hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision).astype(jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(x_norm.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=precision).reshape(B, T, D)
+    use_pallas = cfg.attn_impl == "pallas" or (
+        cfg.attn_impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from vitvs_tpu.ops.attention import mha_attention
+
+        out = mha_attention(q, k, v).reshape(B, T, D)
+    else:
+        scale = 1.0 / math.sqrt(hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision).astype(jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(x_norm.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=precision).reshape(B, T, D)
     return jnp.einsum("btd,de->bte", out, bp["proj_kernel"], precision=precision) + bp["proj_bias"]
 
 

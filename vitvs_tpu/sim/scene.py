@@ -47,17 +47,22 @@ class Scene(NamedTuple):
         )
 
 
-def make_synthetic_poster(size: int = 512, seed: int = 0) -> np.ndarray:
-    """High-texture synthetic poster (multi-scale value noise + shapes) for
-    tests/benches, replacing the reference's viso poster JPEG asset."""
+def make_synthetic_poster(size: int = 512, seed: int = 0,
+                          octaves: tuple[int, int] = (2, 7)) -> np.ndarray:
+    """Synthetic poster (multi-scale value noise + fiducial squares) for
+    tests/benches, replacing the reference's viso poster JPEG asset.
+
+    `octaves=(lo, hi)`: noise scales 2^lo .. 2^(hi-1).  Lower `hi` gives a
+    smoother texture whose patch similarity degrades gracefully under
+    misalignment (useful for similarity-scored tests)."""
     rng = np.random.default_rng(seed)
     img = np.zeros((size, size, 3), np.float32)
-    for octave in range(2, 7):
+    for octave in range(*octaves):
         n = 2 ** octave
         coarse = rng.random((n, n, 3)).astype(np.float32)
         reps = size // n
         up = np.kron(coarse, np.ones((reps, reps, 1), np.float32))
-        img += up / (7 - octave)
+        img += up / (octaves[1] - octave)
     img /= img.max()
     # distinctive high-contrast fiducial squares to anchor correspondences
     qs = size // 8
