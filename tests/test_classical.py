@@ -1,0 +1,129 @@
+"""Classical feature pipeline tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vitvs_tpu.classical import (
+    detect_corners,
+    grayscale,
+    harris_response,
+    match_descriptors,
+    sift_like_descriptors,
+)
+from vitvs_tpu.classical.pipeline import classical_servo_step, extract_goal_features
+from vitvs_tpu.control import EmaState
+from vitvs_tpu.harness.pipeline import ServoModel
+from vitvs_tpu.harness.rollout import pose_errors, rollout_episode
+from vitvs_tpu.io_bridge.config import VSConfig
+from vitvs_tpu.models import vit as vit_mod
+from vitvs_tpu.sim import Scene, make_synthetic_poster, observe
+
+RNG = np.random.default_rng(41)
+
+GOAL_POS = jnp.array([0.0, 0.0, 0.61])
+GOAL_QUAT = jnp.array([0.0, 0.7071068, 0.0, 0.7071068])
+
+
+def _squares_image(h=96, w=96):
+    """Sparse solid squares: L-corners with strong positive Harris response
+    (checkerboard X-corners are saddles with NEGATIVE response)."""
+    img = np.zeros((h, w), np.float32)
+    for (r, c) in [(20, 20), (20, 60), (60, 20), (60, 60)]:
+        img[r:r + 16, c:c + 16] = 1.0
+    return img
+
+
+def test_grayscale_weights():
+    rgb = jnp.asarray(RNG.random((8, 8, 3)).astype(np.float32))
+    g = np.asarray(grayscale(rgb))
+    ref = np.asarray(rgb) @ np.array([0.299, 0.587, 0.114])
+    np.testing.assert_allclose(g, ref, atol=1e-6)
+
+
+def test_harris_peaks_at_corners():
+    img = jnp.asarray(_squares_image())
+    r = np.asarray(harris_response(img))
+    # square corner region: strong positive response; flat regions ~ 0
+    corner_region = r[17:25, 17:25].max()
+    flat_val = abs(r[28, 44])
+    assert corner_region > 1e-2
+    assert corner_region > 100 * flat_val
+
+
+def test_detect_corners_on_squares():
+    img = jnp.asarray(_squares_image())
+    c = detect_corners(img, max_corners=64, border=4)
+    uv = np.asarray(c.uv)[np.asarray(c.valid)]
+    assert len(uv) >= 8  # 4 squares x 4 corners, minus NMS/threshold slack
+    # every detection lies near one of the 16 true square corners
+    true = np.array([[cc + d, rr + e] for rr in (20, 60) for cc in (20, 60)
+                     for d in (0, 15) for e in (0, 15)], np.float32)
+    dists = np.linalg.norm(uv[:, None, :] - true[None, :, :], axis=-1).min(1)
+    assert (dists <= 4.0).mean() > 0.8
+
+
+def test_descriptor_rotation_tolerance():
+    """The same corner viewed under a 90-deg rotated image should produce a
+    similar descriptor (dominant-orientation normalization)."""
+    img = np.asarray(make_synthetic_poster(128, seed=5))
+    g = np.asarray(grayscale(jnp.asarray(img)))
+    g_rot = np.rot90(g, k=1).copy()
+    pt = np.array([[40.0, 56.0]])  # (u, v)
+    d1 = np.asarray(sift_like_descriptors(jnp.asarray(g), jnp.asarray(pt, jnp.float32)))
+    # np.rot90(k=1): out[r, c] = in[c, W-1-r]  =>  (u, v) -> (u', v') = (v, W-1-u)
+    pt_rot = np.array([[pt[0, 1], 127 - pt[0, 0]]])
+    d2 = np.asarray(sift_like_descriptors(jnp.asarray(g_rot),
+                                          jnp.asarray(pt_rot, jnp.float32)))
+    cos = float((d1 @ d2.T).item() / (np.linalg.norm(d1) * np.linalg.norm(d2) + 1e-12))
+    assert cos > 0.6, cos
+    # same-image self-similarity sanity
+    d3 = np.asarray(sift_like_descriptors(jnp.asarray(g), jnp.asarray(pt, jnp.float32)))
+    assert float((d1 @ d3.T).item()) > 0.999
+
+
+def test_match_descriptors_identity_and_crosscheck():
+    d = RNG.standard_normal((32, 16)).astype(np.float32)
+    valid = jnp.ones(32, bool)
+    m = match_descriptors(jnp.asarray(d), jnp.asarray(d), valid, valid, 10)
+    assert int(m.num_valid) == 10
+    np.testing.assert_array_equal(np.asarray(m.idx1), np.asarray(m.idx2))
+    np.testing.assert_allclose(np.asarray(m.distance)[np.asarray(m.valid)], 0, atol=1e-3)
+
+
+def test_match_fewer_than_requested():
+    d1 = RNG.standard_normal((6, 8)).astype(np.float32)
+    d2 = RNG.standard_normal((6, 8)).astype(np.float32)
+    v = jnp.ones(6, bool)
+    m = match_descriptors(jnp.asarray(d1), jnp.asarray(d2), v, v, 24)
+    assert m.idx1.shape == (24,)
+    assert int(m.num_valid) <= 6
+
+
+def _classical_model(**kw):
+    cfg = VSConfig(u_max=128, v_max=128, f_x=100.5, f_y=100.5,
+                   num_pairs=16, lambda_=0.5, control_dt=0.1,
+                   ema_alpha=0.8, pinv_mode="dls",
+                   divergence_multiplier=5.0, max_iterations=120, **kw)
+    vcfg = vit_mod.ViTConfig(model_name="unused")
+    return ServoModel(vit=vcfg, cfg=cfg, compute_dtype=jnp.float32)
+
+
+def test_classical_closed_loop_converges():
+    model = _classical_model()
+    scene = Scene.create(make_synthetic_poster(256, seed=3), half_size=0.42)
+    goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+    gf = extract_goal_features(model, goal_rgb, max_corners=256)
+
+    start = GOAL_POS + jnp.asarray([0.10, -0.08, 0.15], jnp.float32)
+    e0t, _ = pose_errors(start, GOAL_QUAT, GOAL_POS, GOAL_QUAT)
+
+    def step_fn(rgb, depth, ema, prev_v, key):
+        return classical_servo_step(model, gf, rgb, depth, ema, prev_v, key,
+                                    max_corners=256)
+
+    run = jax.jit(lambda sp, sq, k: rollout_episode(
+        None, model, scene, None, sp, sq, k, num_steps=120, step_fn=step_fn))
+    res = run(start, GOAL_QUAT, jax.random.PRNGKey(0))
+    et = float(res.error_history[-1, 0])
+    assert et < 0.5 * float(e0t), (et, float(e0t))

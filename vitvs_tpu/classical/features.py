@@ -1,0 +1,235 @@
+"""Classical feature pipeline, TPU-native.
+
+The reference's classical controller uses OpenCV SIFT/ORB/AKAZE +
+BFMatcher(crossCheck=True) on full-resolution grayscale frames
+(`ibvs_standard.py:320-416`).  OpenCV is a host-side C++ library with
+data-dependent keypoint counts — the opposite of what XLA wants.  This
+module provides the same CAPABILITY (corner detection, rotation-aware local
+descriptors, mutual-NN matching sorted by distance) as fixed-shape,
+mask-based XLA ops:
+
+* Harris corner response + 3x3 non-max suppression, top-K corners (static K
+  with validity mask instead of a dynamic keypoint list);
+* SIFT-style descriptors: dominant gradient orientation, then a 4x4 spatial
+  grid of 8-bin gradient-orientation histograms sampled on the rotated
+  frame (128-d, normalized, 0.2-clipped, renormalized);
+* brute-force mutual-NN (crossCheck) matching with distance sort and top
+  `num_pairs` selection, mirroring `BFMatcher.match` + sort semantics
+  (ibvs_standard.py:361-391).
+
+Not a bit-level OpenCV clone (no scale-space pyramid — the servo scenario is
+fronto-parallel with modest scale change), but the same role in the system:
+the non-learned comparison baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def grayscale(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) [0,1] -> (..., H, W), OpenCV RGB2GRAY weights."""
+    w = jnp.asarray([0.299, 0.587, 0.114], rgb.dtype)
+    return jnp.tensordot(rgb, w, axes=([-1], [0]))
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable gaussian blur on (H, W)."""
+    radius = max(1, int(3 * sigma))
+    k = jnp.asarray(_gaussian_kernel1d(sigma, radius))
+    img4 = img[None, :, :, None]
+    kh = k.reshape(1, -1, 1, 1)
+    kw = k.reshape(-1, 1, 1, 1)
+    out = jax.lax.conv_general_dilated(img4, kh, (1, 1), "SAME",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(out, kw, (1, 1), "SAME",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out[0, :, :, 0]
+
+
+def gradients(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sobel gradients (gx, gy) of (H, W)."""
+    sob = jnp.asarray(np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32))
+    img4 = img[None, :, :, None]
+    kx = sob.reshape(3, 3, 1, 1)
+    ky = sob.T.reshape(3, 3, 1, 1)
+    gx = jax.lax.conv_general_dilated(img4, kx, (1, 1), "SAME",
+                                      dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+    gy = jax.lax.conv_general_dilated(img4, ky, (1, 1), "SAME",
+                                      dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+    return gx, gy
+
+
+def harris_response(img: jnp.ndarray, sigma: float = 1.5, k: float = 0.04) -> jnp.ndarray:
+    gx, gy = gradients(img)
+    ixx = _blur(gx * gx, sigma)
+    iyy = _blur(gy * gy, sigma)
+    ixy = _blur(gx * gy, sigma)
+    det = ixx * iyy - ixy * ixy
+    tr = ixx + iyy
+    return det - k * tr * tr
+
+
+class Corners(NamedTuple):
+    uv: jnp.ndarray       # (K, 2) float pixel coords (u, v)
+    response: jnp.ndarray  # (K,)
+    valid: jnp.ndarray    # (K,) bool
+
+
+def detect_corners(img: jnp.ndarray, max_corners: int = 512,
+                   quality: float = 0.01, border: int = 8) -> Corners:
+    """Harris + 3x3 NMS + top-K (a fixed-shape `goodFeaturesToTrack`)."""
+    h, w = img.shape
+    r = harris_response(img)
+    # non-max suppression: keep local 3x3 maxima
+    rmax = jax.lax.reduce_window(r, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    is_peak = (r >= rmax) & (r > quality * jnp.max(r))
+    # suppress borders (descriptor window must fit)
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    inside = ((rows >= border) & (rows < h - border)
+              & (cols >= border) & (cols < w - border))
+    score = jnp.where(is_peak & inside, r, -jnp.inf)
+    flat = score.reshape(-1)
+    top, idx = jax.lax.top_k(flat, max_corners)
+    v = idx // w
+    u = idx % w
+    return Corners(
+        uv=jnp.stack([u, v], axis=-1).astype(jnp.float32),
+        response=top,
+        valid=jnp.isfinite(top),
+    )
+
+
+def _bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
+@functools.partial(jax.jit, static_argnames=("num_angle_bins", "grid", "bins",
+                                             "window"))
+def sift_like_descriptors(
+    img: jnp.ndarray,
+    uv: jnp.ndarray,
+    num_angle_bins: int = 36,
+    grid: int = 4,
+    bins: int = 8,
+    window: int = 16,
+) -> jnp.ndarray:
+    """(K, grid*grid*bins) rotation-aware gradient-histogram descriptors."""
+    gx, gy = gradients(img)
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+
+    half = window / 2.0
+    # sampling offsets (window x window), centred
+    off = jnp.arange(window, dtype=jnp.float32) - half + 0.5
+    oy, ox = jnp.meshgrid(off, off, indexing="ij")
+    gauss = jnp.exp(-(ox ** 2 + oy ** 2) / (2 * (half ** 2)))
+
+    def describe(pt):
+        u, v = pt[0], pt[1]
+        # --- dominant orientation from an axis-aligned window
+        m = _bilinear(mag, v + oy, u + ox)
+        a = _bilinear(ang, v + oy, u + ox)
+        hist_idx = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * num_angle_bins)
+        hist_idx = jnp.clip(hist_idx, 0, num_angle_bins - 1).astype(jnp.int32)
+        ohist = jnp.zeros(num_angle_bins).at[hist_idx.reshape(-1)].add(
+            (m * gauss).reshape(-1))
+        theta = (jnp.argmax(ohist).astype(jnp.float32) + 0.5) / num_angle_bins
+        theta = theta * 2 * jnp.pi - jnp.pi
+
+        # --- rotated resampling
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        rx = c * ox - s * oy
+        ry = s * ox + c * oy
+        m = _bilinear(mag, v + ry, u + rx)
+        a = _bilinear(ang, v + ry, u + rx) - theta  # gradient angles re-referenced
+
+        # --- 4x4 spatial cells x 8 orientation bins
+        cell = window // grid
+        rc = jnp.arange(window) // cell
+        cell_idx = rc[:, None] * grid + rc[None, :]  # (window, window)
+        # soft (linear) orientation binning, as in SIFT's trilinear weighting
+        bpos = ((a + jnp.pi) % (2 * jnp.pi)) / (2 * jnp.pi) * bins - 0.5
+        b0 = jnp.floor(bpos)
+        frac = bpos - b0
+        b0i = jnp.mod(b0.astype(jnp.int32), bins)
+        b1i = jnp.mod(b0i + 1, bins)
+        wgt = (m * gauss).reshape(-1)
+        flat0 = (cell_idx * bins + b0i).reshape(-1)
+        flat1 = (cell_idx * bins + b1i).reshape(-1)
+        desc = (jnp.zeros(grid * grid * bins)
+                .at[flat0].add(wgt * (1 - frac.reshape(-1)))
+                .at[flat1].add(wgt * frac.reshape(-1)))
+
+        # SIFT normalization: L2, clip 0.2, L2
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+        desc = jnp.minimum(desc, 0.2)
+        return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
+
+    return jax.vmap(describe)(uv)
+
+
+class Matches(NamedTuple):
+    idx1: jnp.ndarray      # (P,) indices into corners1
+    idx2: jnp.ndarray      # (P,) indices into corners2
+    distance: jnp.ndarray  # (P,)
+    valid: jnp.ndarray     # (P,) bool
+    num_valid: jnp.ndarray  # () int32
+
+
+def match_descriptors(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                      valid1: jnp.ndarray, valid2: jnp.ndarray,
+                      num_pairs: int) -> Matches:
+    """Brute-force mutual-NN (crossCheck) L2 matching, sorted by distance,
+    top `num_pairs` — BFMatcher(NORM_L2, crossCheck=True).match + sort
+    (ibvs_standard.py:361-391)."""
+    big = jnp.float32(3e38)
+    d2 = (jnp.sum(desc1 ** 2, 1)[:, None] + jnp.sum(desc2 ** 2, 1)[None, :]
+          - 2.0 * desc1 @ desc2.T)
+    d2 = jnp.where(valid1[:, None] & valid2[None, :], jnp.maximum(d2, 0.0), big)
+    nn12 = jnp.argmin(d2, axis=1)
+    nn21 = jnp.argmin(d2, axis=0)
+    k1 = jnp.arange(desc1.shape[0])
+    mutual = (nn21[nn12] == k1) & valid1 & (jnp.min(d2, axis=1) < big)
+    dist = jnp.where(mutual, jnp.sqrt(jnp.min(d2, axis=1)), big)
+    order_d, order_i = jax.lax.top_k(-dist, min(num_pairs, dist.shape[0]))
+    sel_dist = -order_d
+    sel_valid = sel_dist < big
+    if order_i.shape[0] < num_pairs:
+        pad = num_pairs - order_i.shape[0]
+        order_i = jnp.pad(order_i, (0, pad))
+        sel_dist = jnp.pad(sel_dist, (0, pad), constant_values=big)
+        sel_valid = jnp.pad(sel_valid, (0, pad))
+    return Matches(
+        idx1=jnp.where(sel_valid, order_i, 0),
+        idx2=jnp.where(sel_valid, nn12[order_i], 0),
+        distance=sel_dist,
+        valid=sel_valid,
+        num_valid=jnp.sum(sel_valid.astype(jnp.int32)),
+    )

@@ -1,0 +1,147 @@
+"""The 500-episode benchmark driver — replaces the reference `main()`
+(vitvs_v2.py:1345-1546) + its ROS/Gazebo orchestration (run_ibvs.sh).
+
+Flow per the reference, but batched:
+  1. sample start poses with the legacy seed-41 stream (identical poses);
+  2. optionally pre-generate perturbed poster textures (one vmap — the
+     reference pre-generates 500 Gazebo models and swaps them per episode);
+  3. rotation-compensation search per episode (batched 4-view ViT forward);
+  4. closed-loop rollouts, vmapped in chunks (sharded over a mesh when
+     multiple devices are present);
+  5. reference-format npz + summary stats.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vitvs_tpu.harness import evals, results, samplers
+from vitvs_tpu.harness.pipeline import ServoModel, goal_descriptors
+from vitvs_tpu.harness.rollout import find_best_start_pose, rollout_episode
+from vitvs_tpu.io_bridge.config import VSConfig
+from vitvs_tpu.models import vit as vit_mod
+from vitvs_tpu.sim import Scene, make_synthetic_poster, observe, perturb_texture
+
+
+def build_model(cfg: VSConfig, params=None, compute_dtype=jnp.bfloat16,
+                seed: int = 0):
+    model = ServoModel.create(cfg, compute_dtype=compute_dtype)
+    if params is None:
+        params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(seed))
+    return params, model
+
+
+def build_scene(texture: np.ndarray | None = None, half_size: float = 0.42) -> Scene:
+    if texture is None:
+        texture = make_synthetic_poster(512, seed=0)
+    return Scene.create(texture, half_size=half_size)
+
+
+def run_benchmark(
+    cfg: VSConfig,
+    params=None,
+    scene: Scene | None = None,
+    out_dir: str = ".",
+    config_name: str = "config",
+    perturbation: bool = False,
+    rotation_search: bool = True,
+    chunk: int = 8,
+    num_steps: int | None = None,
+    seed: int = 41,                      # reference seed (vitvs_v2.py:1398)
+    perturb_seed: int = 489,             # generate_perturbed_models.py:68
+    save: bool = True,
+    verbose: bool = True,
+):
+    t_start = time.time()
+    params, model = build_model(cfg, params)
+    scene = scene or build_scene()
+
+    positions, quats, n = samplers.generate_episode_starts(cfg, seed=seed)
+    if verbose:
+        ap, sp = samplers.pose_error_stats(positions, samplers.DESIRED_POSITION)
+        ao, so = samplers.orientation_error_stats(quats, samplers.DESIRED_ORIENTATION)
+        print(f"[bench] {n} episodes; initial pos err {ap:.2f}±{sp:.2f} cm, "
+              f"rot err {ao:.2f}±{so:.2f} deg")
+
+    # goal image: the scene rendered from the goal pose (the reference ships a
+    # goalrgb.jpg photographed at exactly that pose, vitvs_v2.py:264)
+    goal_pos = jnp.asarray(samplers.DESIRED_POSITION, jnp.float32)
+    goal_quat = jnp.asarray(samplers.DESIRED_ORIENTATION, jnp.float32)
+    goal_rgb, _ = observe(scene, model.camera, goal_pos, goal_quat)
+    goal_desc = jax.jit(lambda p, f: goal_descriptors(p, model, f))(params, goal_rgb)
+
+    # perturbed textures per episode (scene-level fault injection)
+    textures = None
+    if perturbation:
+        keys = jax.random.split(jax.random.PRNGKey(perturb_seed), n)
+        textures = jax.vmap(lambda k: perturb_texture(k, scene.texture))(keys)
+
+    # rotation-compensation search (batched per episode)
+    best_quats = np.asarray(quats, np.float32)
+    if rotation_search:
+        search = jax.jit(lambda sc, pos, q, k: find_best_start_pose(
+            params, model, sc, goal_desc, pos, q, k)[1])
+        bq = []
+        for i in range(n):
+            sc = scene if textures is None else scene._replace(texture=textures[i])
+            bq.append(np.asarray(search(sc, jnp.asarray(positions[i], jnp.float32),
+                                        jnp.asarray(best_quats[i]),
+                                        jax.random.PRNGKey(1000 + i))))
+        best_quats = np.stack(bq)
+
+    # vmapped rollouts in chunks
+    def run_chunk(sc_textures, starts, sqs, keys):
+        if sc_textures is None:
+            return jax.vmap(lambda sp, sq, k: rollout_episode(
+                params, model, scene, goal_desc, sp, sq, k, num_steps=num_steps)
+            )(starts, sqs, keys)
+        return jax.vmap(lambda tx, sp, sq, k: rollout_episode(
+            params, model, scene._replace(texture=tx), goal_desc, sp, sq, k,
+            num_steps=num_steps)
+        )(sc_textures, starts, sqs, keys)
+
+    run_chunk_j = jax.jit(run_chunk, static_argnames=())
+
+    episodes = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pad = chunk - (hi - lo)
+        sl = slice(lo, hi)
+
+        def padded(a):
+            a = np.asarray(a[sl], np.float32)
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+            return jnp.asarray(a)
+
+        keys = jax.random.split(jax.random.PRNGKey(lo), chunk)
+        tx = None if textures is None else padded(textures)
+        batch = run_chunk_j(tx, padded(positions), padded(best_quats), keys)
+        batch = jax.tree.map(np.asarray, batch)
+        for i in range(hi - lo):
+            episodes.append(jax.tree.map(lambda a: a[i], batch))
+        if verbose:
+            done = sum(bool(e.converged) for e in episodes)
+            print(f"[bench] episodes {hi}/{n}; converged so far: {done}")
+
+    total_time = time.time() - t_start
+    best_poses = [(positions[i], best_quats[i]) for i in range(n)]
+    summaries = results.episode_summaries(episodes, positions, quats, best_poses)
+    path = None
+    if save:
+        path = results.save_results(out_dir, summaries, total_time,
+                                    config_name=config_name, method="dino",
+                                    perturbed=perturbation)
+    stats = evals.convergence_stats({**{k: np.asarray(v, dtype=object)
+                                        if isinstance(v, list) else v
+                                        for k, v in summaries.items()},
+                                     "total_execution_time": total_time})
+    if verbose:
+        print(f"[bench] convergence {stats.convergence_rate:.1f}% "
+              f"({stats.num_converged}/{stats.num_samples}) in {total_time:.1f}s")
+    return stats, path, summaries

@@ -87,9 +87,16 @@ def rollout_episode(
     desired_position: jnp.ndarray | None = None,
     desired_quat: jnp.ndarray | None = None,
     num_steps: int | None = None,
+    step_fn=None,
 ) -> EpisodeResult:
+    """`step_fn(rgb, depth, ema, prev_v, key) -> StepResult` may override the
+    per-frame pipeline (e.g. the classical feature path); defaults to the
+    ViT `servo_step`."""
     cfg = model.cfg
     cam = model.camera
+    if step_fn is None:
+        def step_fn(rgb, depth, ema, prev_v, key):  # noqa: F811
+            return servo_step(params, model, goal_desc, rgb, depth, ema, prev_v, key)
     desired_position = (jnp.asarray(DESIRED_POSITION, jnp.float32)
                         if desired_position is None else desired_position)
     desired_quat = (jnp.asarray(DESIRED_ORIENTATION, jnp.float32)
@@ -116,10 +123,7 @@ def rollout_episode(
         key, sub = jax.random.split(carry.key)
 
         rgb, depth = observe(scene, cam, carry.position, carry.quat)
-        step: StepResult = servo_step(
-            params, model, goal_desc, rgb, depth,
-            carry.ema, carry.prev_v_c, sub,
-        )
+        step: StepResult = step_fn(rgb, depth, carry.ema, carry.prev_v_c, sub)
 
         fail_count = jnp.where(step.feature_ok, 0, carry.fail_count + 1)
         aborted = carry.aborted | (fail_count >= cfg.max_feature_failures)

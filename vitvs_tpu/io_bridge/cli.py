@@ -1,0 +1,87 @@
+"""CLI — the `run_ibvs.sh` equivalent.
+
+Reference dispatch (`src/run_ibvs.sh:5-11,25-81`):
+    ./run_ibvs.sh --method {sift,orb,akaze,dino} [--config f] [--perturbation]
+spins up roslaunch + Gazebo, then runs the controller's benchmark main().
+
+Here the simulator is in-process and on-device:
+
+    python -m vitvs_tpu.io_bridge.cli --method dino [--config f.yaml]
+        [--perturbation] [--no-rotation-search] [--num-samples N]
+        [--checkpoint DIR] [--out DIR]
+
+`--method dino` runs the ViT pipeline; `sift`-class classical methods run
+the gradient-feature pipeline in vitvs_tpu.classical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native ViT-VS benchmark")
+    p.add_argument("--method", default="dino",
+                   choices=["dino", "classical", "sift", "orb", "akaze"],
+                   help="feature pipeline (sift/orb/akaze alias 'classical')")
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--perturbation", action="store_true",
+                   help="per-episode perturbed poster textures")
+    p.add_argument("--no-rotation-search", action="store_true")
+    p.add_argument("--num-samples", type=int, default=None,
+                   help="override config num_samples")
+    p.add_argument("--num-steps", type=int, default=None,
+                   help="cap rollout length (default: config max_iterations)")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir of converted DINOv2 weights")
+    p.add_argument("--out", default=".", help="results output directory")
+    p.add_argument("--chunk", type=int, default=8, help="vmap batch size")
+    args = p.parse_args(argv)
+
+    from vitvs_tpu.io_bridge.config import VSConfig, load_config
+
+    cfg = load_config(args.config) if args.config else VSConfig()
+    if args.num_samples:
+        cfg = cfg.replace(num_samples=args.num_samples)
+    if args.method in ("classical", "sift", "orb", "akaze"):
+        # classical controller uses the 5x divergence abort (ibvs_standard.py:215)
+        cfg = cfg.replace(divergence_multiplier=5.0)
+
+    params = None
+    if args.checkpoint:
+        from vitvs_tpu.models.convert import load_params
+
+        params = load_params(args.checkpoint)
+
+    config_name = (os.path.splitext(os.path.basename(args.config))[0]
+                   if args.config else "config")
+
+    if args.method == "dino":
+        from vitvs_tpu.harness.benchmark import run_benchmark
+
+        stats, path, _ = run_benchmark(
+            cfg, params=params, out_dir=args.out, config_name=config_name,
+            perturbation=args.perturbation,
+            rotation_search=not args.no_rotation_search,
+            chunk=args.chunk, num_steps=args.num_steps,
+        )
+    else:
+        from vitvs_tpu.classical.benchmark import run_classical_benchmark
+
+        stats, path, _ = run_classical_benchmark(
+            cfg, out_dir=args.out, config_name=config_name,
+            method=args.method if args.method != "classical" else "sift",
+            perturbation=args.perturbation, chunk=args.chunk,
+            num_steps=args.num_steps,
+        )
+
+    print(f"results: {path}")
+    print(f"convergence: {stats.convergence_rate:.1f}% "
+          f"({stats.num_converged}/{stats.num_samples})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
