@@ -2,9 +2,18 @@
 
 Measures the full per-frame pipeline (preprocess 640x480 frame -> DINOv2-
 style ViT-B/14 forward at 518^2 -> binned descriptors -> dense cosine match
--> IBVS velocity) as a SEQUENTIAL chain of servo iterations (each step's EMA
-state feeds the next), i.e. true single-stream latency — the reference's
+-> IBVS velocity) as a SEQUENTIAL chain of servo iterations threaded through
+the EMA state — true single-stream servo throughput, the reference's
 per-iteration wall time (vitvs_v2.py:630-632).
+
+Methodology notes:
+* each chain step consumes a DIFFERENT camera frame (cycling a pre-staged
+  stack), so XLA cannot hoist the ViT/matcher out of the scan as loop-
+  invariant;
+* the per-iteration time is the SLOPE between a long and a short chain,
+  cancelling host<->device round-trip latency (this environment tunnels to
+  the TPU with ~30 ms RTT, which would otherwise dominate);
+* all inputs stay device-resident across timed calls.
 
 North star (BASELINE.md): >= 500 Hz on one TPU v5e chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -14,6 +23,11 @@ import json
 import time
 
 import numpy as np
+
+N_FRAMES = 4          # distinct staged camera frames, cycled
+CHAIN_SHORT = 5
+CHAIN_LONG = 45
+REPS = 3
 
 
 def main():
@@ -31,39 +45,50 @@ def main():
     params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
-    frame = jnp.asarray(rng.random((cfg.v_max, cfg.u_max, 3)), jnp.float32)
+    frames = jnp.asarray(rng.random((N_FRAMES, cfg.v_max, cfg.u_max, 3)),
+                         jnp.float32)
     depth = jnp.full((cfg.v_max, cfg.u_max), 0.61, jnp.float32)
+    frames = jax.device_put(frames)
+    depth = jax.device_put(depth)
 
-    goal = jax.jit(lambda p, f: goal_descriptors(p, model, f))(params, frame)
+    goal = jax.jit(lambda p, f: goal_descriptors(p, model, f))(params, frames[0])
+    jax.block_until_ready(goal)
 
-    chain = 20  # sequential servo iterations per timed call
+    def make_chain(n):
+        @jax.jit
+        def run(params, goal, frames, depth, key):
+            def body(carry, inp):
+                ema_v, ema_i, prev = carry
+                i, k = inp
+                frame = jax.lax.dynamic_index_in_dim(frames, i % N_FRAMES, 0,
+                                                     keepdims=False)
+                res = servo_step(params, model, goal, frame, depth,
+                                 EmaState(ema_v, ema_i), prev, k)
+                return (res.ema.value, res.ema.initialized, res.v_c), res.v_c
 
-    @jax.jit
-    def run_chain(params, goal, frame, depth, key):
-        def body(carry, k):
-            ema_v, ema_i, prev = carry
-            res = servo_step(params, model, goal, frame, depth,
-                             EmaState(ema_v, ema_i), prev, k)
-            return (res.ema.value, res.ema.initialized, res.v_c), res.v_c
+            keys = jax.random.split(key, n)
+            idx = jnp.arange(n)
+            _, vs = jax.lax.scan(
+                body, (jnp.zeros(6), jnp.zeros((), bool), jnp.zeros(6)),
+                (idx, keys))
+            return vs
 
-        keys = jax.random.split(key, chain)
-        (_, _, _), vs = jax.lax.scan(
-            body, (jnp.zeros(6), jnp.zeros((), bool), jnp.zeros(6)), keys)
-        return vs
+        return run
 
-    key = jax.random.PRNGKey(1)
-    jax.block_until_ready(run_chain(params, goal, frame, depth, key))  # compile
+    chains = {n: make_chain(n) for n in (CHAIN_SHORT, CHAIN_LONG)}
+    times = {}
+    for n, fn in chains.items():
+        out = fn(params, goal, frames, depth, jax.random.PRNGKey(0))
+        np.asarray(out)  # compile + fetch
+        best = float("inf")
+        for r in range(REPS):
+            t0 = time.perf_counter()
+            np.asarray(fn(params, goal, frames, depth, jax.random.PRNGKey(r + 1)))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
 
-    reps = 5
-    best = float("inf")
-    for r in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_chain(params, goal, frame, depth,
-                                        jax.random.PRNGKey(r)))
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-
-    hz = chain / best
+    per_iter = (times[CHAIN_LONG] - times[CHAIN_SHORT]) / (CHAIN_LONG - CHAIN_SHORT)
+    hz = 1.0 / max(per_iter, 1e-9)
     print(json.dumps({
         "metric": "servo_hz_vitb14_518",
         "value": round(hz, 2),
