@@ -1,0 +1,176 @@
+"""ctypes bindings for the native sensor bridge (native/sensor_bridge.cpp).
+
+Builds the shared library on first use (make); every function has a numpy
+fallback so the framework works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsensor_bridge.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.fb_create.restype = ctypes.c_void_p
+        lib.fb_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.fb_destroy.argtypes = [ctypes.c_void_p]
+        lib.fb_publish.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_float, ctypes.c_float]
+        lib.fb_latest.restype = ctypes.c_uint64
+        lib.fb_latest.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.depth_m_to_u16mm.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int64, ctypes.c_float, ctypes.c_float]
+        lib.depth_u16mm_to_m.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.rgb8_to_unit_float.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.bilinear_resize_u8.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def depth_m_to_u16mm(depth_m: np.ndarray, min_range: float = 0.1,
+                     max_range: float = 10.0) -> np.ndarray:
+    """float meters -> uint16 mm with range clip (RealSensePlugin.cpp:242-276)."""
+    d = np.ascontiguousarray(depth_m, np.float32)
+    out = np.empty(d.shape, np.uint16)
+    lib = _load()
+    if lib is not None:
+        lib.depth_m_to_u16mm(d.ctypes.data, out.ctypes.data, d.size,
+                             min_range, max_range)
+    else:
+        ok = np.isfinite(d) & (d >= min_range) & (d <= max_range)
+        out[:] = np.where(ok, (d * 1000.0 + 0.5).astype(np.uint16), 0)
+    return out
+
+
+def depth_u16mm_to_m(depth_mm: np.ndarray) -> np.ndarray:
+    d = np.ascontiguousarray(depth_mm, np.uint16)
+    out = np.empty(d.shape, np.float32)
+    lib = _load()
+    if lib is not None:
+        lib.depth_u16mm_to_m(d.ctypes.data, out.ctypes.data, d.size)
+    else:
+        out[:] = d.astype(np.float32) * 0.001
+    return out
+
+
+def rgb8_to_unit_float(rgb: np.ndarray, mean=None, std=None) -> np.ndarray:
+    r = np.ascontiguousarray(rgb, np.uint8)
+    out = np.empty(r.shape, np.float32)
+    lib = _load()
+    if lib is not None:
+        m = (np.asarray(mean, np.float32) if mean is not None else None)
+        s = (np.asarray(std, np.float32) if std is not None else None)
+        lib.rgb8_to_unit_float(
+            r.ctypes.data, out.ctypes.data, r.size // 3,
+            m.ctypes.data if m is not None else None,
+            s.ctypes.data if s is not None else None)
+    else:
+        out[:] = r.astype(np.float32) / 255.0
+        if mean is not None:
+            out[:] = (out - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return out
+
+
+def bilinear_resize_u8(rgb: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    r = np.ascontiguousarray(rgb, np.uint8)
+    ih, iw, _ = r.shape
+    out = np.empty((oh, ow, 3), np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.bilinear_resize_u8(r.ctypes.data, ih, iw, out.ctypes.data, oh, ow)
+    else:
+        ys = np.clip((np.arange(oh) + 0.5) * ih / oh - 0.5, 0, ih - 1)
+        xs = np.clip((np.arange(ow) + 0.5) * iw / ow - 0.5, 0, iw - 1)
+        y0 = np.minimum(ys.astype(int), ih - 2)
+        x0 = np.minimum(xs.astype(int), iw - 2)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        a = r[y0][:, x0].astype(np.float32)
+        b = r[y0][:, x0 + 1].astype(np.float32)
+        c = r[y0 + 1][:, x0].astype(np.float32)
+        d = r[y0 + 1][:, x0 + 1].astype(np.float32)
+        out[:] = ((a * (1 - fx) + b * fx) * (1 - fy)
+                  + (c * (1 - fx) + d * fx) * fy + 0.5).astype(np.uint8)
+    return out
+
+
+class NativeFrameBuffer:
+    """Seqlock'd latest-frame mailbox (single producer, any readers).
+
+    Race-free replacement for the reference's ROS-callback shared-variable
+    pattern (vitvs_v2.py:455-462).  Falls back to a GIL-protected python
+    buffer when the native library is unavailable.
+    """
+
+    def __init__(self, width: int, height: int,
+                 min_range: float = 0.1, max_range: float = 10.0):
+        self.width = width
+        self.height = height
+        self.min_range = min_range
+        self.max_range = max_range
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.fb_create(width, height)
+        else:
+            self._h = None
+            self._rgb = np.zeros((height, width, 3), np.uint8)
+            self._depth = np.zeros((height, width), np.float32)
+            self._stamp = 0
+
+    def publish(self, rgb: np.ndarray, depth_m: np.ndarray) -> None:
+        rgb = np.ascontiguousarray(rgb, np.uint8)
+        depth = np.ascontiguousarray(depth_m, np.float32)
+        if self._h is not None:
+            self._lib.fb_publish(self._h, rgb.ctypes.data, depth.ctypes.data,
+                                 self.min_range, self.max_range)
+        else:
+            ok = np.isfinite(depth) & (depth >= self.min_range) & (depth <= self.max_range)
+            self._rgb = rgb.copy()
+            self._depth = np.where(ok, np.round(depth * 1000) / 1000, 0.0).astype(np.float32)
+            self._stamp += 1
+
+    def latest(self) -> tuple[int, np.ndarray, np.ndarray]:
+        rgb = np.empty((self.height, self.width, 3), np.uint8)
+        depth = np.empty((self.height, self.width), np.float32)
+        if self._h is not None:
+            stamp = self._lib.fb_latest(self._h, rgb.ctypes.data, depth.ctypes.data)
+            return int(stamp), rgb, depth
+        return self._stamp, self._rgb.copy(), self._depth.copy()
+
+    def get_frame(self) -> tuple[np.ndarray, np.ndarray]:
+        """FrameSource protocol (io_bridge.host_loop)."""
+        _, rgb, depth = self.latest()
+        return rgb, depth
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.fb_destroy(self._h)
+            self._h = None
