@@ -81,31 +81,35 @@ def run_benchmark(
         keys = jax.random.split(jax.random.PRNGKey(perturb_seed), n)
         textures = jax.vmap(lambda k: perturb_texture(k, scene.texture))(keys)
 
-    # rotation-compensation search (batched per episode)
+    # rotation-compensation search (batched per episode).  NOTE params /
+    # goal_desc / scene arrays are threaded as jit ARGUMENTS — closure
+    # captures would be baked into the compile payload as constants.
     best_quats = np.asarray(quats, np.float32)
     if rotation_search:
-        search = jax.jit(lambda sc, pos, q, k: find_best_start_pose(
-            params, model, sc, goal_desc, pos, q, k)[1])
+        search = jax.jit(lambda p, gd, sc, pos, q, k: find_best_start_pose(
+            p, model, sc, gd, pos, q, k)[1])
         bq = []
         for i in range(n):
             sc = scene if textures is None else scene._replace(texture=textures[i])
-            bq.append(np.asarray(search(sc, jnp.asarray(positions[i], jnp.float32),
+            bq.append(np.asarray(search(params, goal_desc, sc,
+                                        jnp.asarray(positions[i], jnp.float32),
                                         jnp.asarray(best_quats[i]),
                                         jax.random.PRNGKey(1000 + i))))
         best_quats = np.stack(bq)
 
     # vmapped rollouts in chunks
-    def run_chunk(sc_textures, starts, sqs, keys):
-        if sc_textures is None:
-            return jax.vmap(lambda sp, sq, k: rollout_episode(
-                params, model, scene, goal_desc, sp, sq, k, num_steps=num_steps)
-            )(starts, sqs, keys)
+    @jax.jit
+    def run_chunk_notx(params, goal_desc, scene, starts, sqs, keys):
+        return jax.vmap(lambda sp, sq, k: rollout_episode(
+            params, model, scene, goal_desc, sp, sq, k, num_steps=num_steps)
+        )(starts, sqs, keys)
+
+    @jax.jit
+    def run_chunk_tx(params, goal_desc, scene, sc_textures, starts, sqs, keys):
         return jax.vmap(lambda tx, sp, sq, k: rollout_episode(
             params, model, scene._replace(texture=tx), goal_desc, sp, sq, k,
             num_steps=num_steps)
         )(sc_textures, starts, sqs, keys)
-
-    run_chunk_j = jax.jit(run_chunk, static_argnames=())
 
     episodes = []
     for lo in range(0, n, chunk):
@@ -120,8 +124,12 @@ def run_benchmark(
             return jnp.asarray(a)
 
         keys = jax.random.split(jax.random.PRNGKey(lo), chunk)
-        tx = None if textures is None else padded(textures)
-        batch = run_chunk_j(tx, padded(positions), padded(best_quats), keys)
+        if textures is None:
+            batch = run_chunk_notx(params, goal_desc, scene, padded(positions),
+                                   padded(best_quats), keys)
+        else:
+            batch = run_chunk_tx(params, goal_desc, scene, padded(textures),
+                                 padded(positions), padded(best_quats), keys)
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
