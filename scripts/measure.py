@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--attn", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--gelu-approx", action="store_true")
+    ap.add_argument("--fast-math", action="store_true", help="gelu approx + bf16 LN + bf16 softmax")
     ap.add_argument("--size", type=int, default=518)
     args = ap.parse_args()
 
@@ -58,6 +59,8 @@ def main():
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
     import dataclasses as _dc
     vit_kw = {"scan_unroll": args.unroll, "gelu_approx": args.gelu_approx}
+    if args.fast_math:
+        vit_kw.update(gelu_approx=True, ln_f32=False, softmax_f32=False)
     if args.attn != "auto":
         vit_kw["attn_impl"] = args.attn
     model = _dc.replace(model, vit=_dc.replace(model.vit, **vit_kw))

@@ -1,0 +1,167 @@
+"""Harness tests: benchmark driver (with checkpoint/resume), samplers,
+visualization, profiling utilities."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_rollout import tiny_setup  # noqa: E402
+
+from vitvs_tpu.harness import samplers, viz  # noqa: E402
+from vitvs_tpu.harness.benchmark import run_benchmark  # noqa: E402
+from vitvs_tpu.io_bridge.config import VSConfig  # noqa: E402
+from vitvs_tpu.utils import StageTimer  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# samplers (legacy-seed parity with the reference's sampling chain)
+# ---------------------------------------------------------------------------
+
+
+def test_generate_episode_starts_deterministic():
+    cfg = VSConfig(num_samples=16, num_circles=4)
+    p1, q1, n1 = samplers.generate_episode_starts(cfg, seed=41)
+    p2, q2, n2 = samplers.generate_episode_starts(cfg, seed=41)
+    assert n1 == n2 == 16
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(q1, q2)
+
+
+def test_positions_within_reference_box():
+    cfg = VSConfig(num_samples=100, num_circles=4)
+    p, q, n = samplers.generate_episode_starts(cfg)
+    lo = samplers.DESIRED_POSITION - samplers.BOX_SAMPLE_SIZE / 2
+    hi = samplers.DESIRED_POSITION + samplers.BOX_SAMPLE_SIZE / 2
+    assert (p >= lo).all() and (p <= hi).all()
+    # quats normalized
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-9)
+
+
+def test_legacy_stream_matches_reference_call_order():
+    """The exact sampling stream: np.random.seed(41) -> uniform box ->
+    per-circle uniform thetas (vitvs_v2.py:1397-1418)."""
+    cfg = VSConfig(num_samples=8, num_circles=4, circle_radius_aug=0.08)
+    p, _, _ = samplers.generate_episode_starts(cfg, seed=41)
+    rs = np.random.RandomState(41)
+    half = samplers.BOX_SAMPLE_SIZE / 2
+    expect = rs.uniform(samplers.DESIRED_POSITION - half,
+                        samplers.DESIRED_POSITION + half, size=(8, 3))
+    np.testing.assert_array_equal(p, expect)
+
+
+def test_orientations_look_at_focal_points():
+    cfg = VSConfig(num_samples=12, num_circles=4)
+    p, q, _ = samplers.generate_episode_starts(cfg)
+    from scipy.spatial.transform import Rotation as R
+    # body +x must point roughly toward the reference point neighborhood
+    fwd = R.from_quat(q).apply(np.array([1.0, 0, 0]))
+    to_ref = samplers.REFERENCE_POINT - p
+    to_ref = to_ref / np.linalg.norm(to_ref, axis=1, keepdims=True)
+    cos = (fwd * to_ref).sum(1)
+    assert (cos > 0.9).all()  # focal points lie within 0.32 m of the reference
+
+
+def test_pose_error_stats():
+    cfg = VSConfig(num_samples=50, num_circles=5)
+    p, q, _ = samplers.generate_episode_starts(cfg)
+    mean_cm, std_cm = samplers.pose_error_stats(p, samplers.DESIRED_POSITION)
+    assert 10 < mean_cm < 100
+    m, s = samplers.orientation_error_stats(q, samplers.DESIRED_ORIENTATION)
+    assert 0 < m < 120
+
+
+# ---------------------------------------------------------------------------
+# benchmark driver end-to-end (tiny model)
+# ---------------------------------------------------------------------------
+
+
+def test_run_benchmark_end_to_end(tmp_path):
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=12)
+    cfg = model.cfg.replace(num_samples=4, num_circles=2)
+    ckpt = str(tmp_path / "episodes.pkl")
+    stats, path, summaries = run_benchmark(
+        cfg, params=params, model=model, scene=scene, out_dir=str(tmp_path),
+        config_name="tiny", rotation_search=False, chunk=2, num_steps=12,
+        verbose=False, checkpoint_path=ckpt,
+    )
+    assert stats.num_samples == 4
+    assert os.path.exists(path)
+    assert os.path.exists(ckpt)
+    d = np.load(path, allow_pickle=True)
+    assert len(d["convergence_flags"]) == 4
+    assert d["all_position_histories"][0].shape[1] == 3
+
+    # resume: with a full checkpoint the rerun does no rollout work
+    stats2, _, _ = run_benchmark(
+        cfg, params=params, model=model, scene=scene, out_dir=str(tmp_path),
+        config_name="tiny2", rotation_search=False, chunk=2, num_steps=12,
+        verbose=False, checkpoint_path=ckpt,
+    )
+    assert stats2.num_samples == 4
+
+
+def test_run_benchmark_with_perturbation_and_rotation_search(tmp_path):
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=8)
+    cfg = model.cfg.replace(num_samples=2, num_circles=1)
+    stats, path, _ = run_benchmark(
+        cfg, params=params, model=model, scene=scene, out_dir=str(tmp_path),
+        config_name="tinyp", perturbation=True, rotation_search=True,
+        chunk=2, num_steps=8, verbose=False,
+    )
+    assert stats.num_samples == 2
+    assert path.endswith("_perturbed.npz")
+
+
+# ---------------------------------------------------------------------------
+# viz
+# ---------------------------------------------------------------------------
+
+
+def test_draw_points_overlays():
+    img = np.zeros((32, 32, 3), np.uint8)
+    out = viz.draw_points(img, np.array([[5, 5]]), np.array([[20, 20]]), radius=1)
+    assert (out[5, 5] == [0, 255, 0]).all()
+    assert (out[20, 20] == [255, 0, 0]).all()
+    assert (img == 0).all()  # original untouched
+
+
+def test_correspondence_figure_renders():
+    g = np.random.default_rng(0).random((40, 40, 3))
+    c = np.random.default_rng(1).random((40, 40, 3))
+    pts = np.array([[5.0, 6.0], [20.0, 30.0]])
+    fig = viz.correspondence_figure(g, c, pts, pts + 2,
+                                    valid=np.array([True, True]))
+    img = viz.figure_to_image(fig)
+    assert img.ndim == 3 and img.shape[2] == 3
+
+
+def test_plot_trajectory(tmp_path):
+    d = {
+        "all_iteration_histories": np.array([5]),
+        "all_position_histories": np.array([np.random.default_rng(0).random((5, 3))],
+                                           dtype=object),
+    }
+    fig = viz.plot_trajectory(d, 0)
+    assert fig is not None
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+
+def test_stage_timer():
+    import jax.numpy as jnp
+
+    t = StageTimer()
+    with t.stage("work") as h:
+        h["result"] = jnp.zeros(10) + 1
+    with t.stage("work"):
+        pass
+    s = t.summary()
+    assert s["work"]["count"] == 2
+    assert "work" in t.report()

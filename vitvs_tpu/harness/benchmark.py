@@ -13,6 +13,7 @@ Flow per the reference, but batched:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Sequence
 
@@ -45,6 +46,7 @@ def build_scene(texture: np.ndarray | None = None, half_size: float = 0.42) -> S
 def run_benchmark(
     cfg: VSConfig,
     params=None,
+    model: ServoModel | None = None,
     scene: Scene | None = None,
     out_dir: str = ".",
     config_name: str = "config",
@@ -56,9 +58,19 @@ def run_benchmark(
     perturb_seed: int = 489,             # generate_perturbed_models.py:68
     save: bool = True,
     verbose: bool = True,
+    checkpoint_path: str | None = None,
 ):
+    """`checkpoint_path` enables episode-level checkpoint/resume: after every
+    chunk the completed episode results are pickled there, and a re-run with
+    the same path continues from the first missing episode — the crash
+    recovery the reference lacks entirely (SURVEY §5.3-5.4: a crashed
+    500-episode sweep restarts from zero)."""
+    import pickle
+
     t_start = time.time()
-    params, model = build_model(cfg, params)
+    if model is None:
+        params, model = build_model(cfg, params)
+    assert params is not None, "pass params when supplying a prebuilt model"
     scene = scene or build_scene()
 
     positions, quats, n = samplers.generate_episode_starts(cfg, seed=seed)
@@ -112,7 +124,15 @@ def run_benchmark(
         )(sc_textures, starts, sqs, keys)
 
     episodes = []
-    for lo in range(0, n, chunk):
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path, "rb") as fh:
+            episodes = pickle.load(fh)
+        if verbose:
+            print(f"[bench] resumed {len(episodes)} episodes from {checkpoint_path}")
+
+    # episodes are appended whole chunks at a time, so resuming at
+    # len(episodes) always lands on a chunk boundary (or past the end)
+    for lo in range(len(episodes), n, chunk):
         hi = min(lo + chunk, n)
         pad = chunk - (hi - lo)
         sl = slice(lo, hi)
@@ -133,6 +153,11 @@ def run_benchmark(
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
+        if checkpoint_path:
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump(episodes, fh)
+            os.replace(tmp, checkpoint_path)
         if verbose:
             done = sum(bool(e.converged) for e in episodes)
             print(f"[bench] episodes {hi}/{n}; converged so far: {done}")

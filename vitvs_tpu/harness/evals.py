@@ -109,6 +109,26 @@ def ape(npz_or_dict, desired_position=DESIRED_POSITION,
             (float(rot_apes.mean()), float(rot_apes.std())))
 
 
+def print_report(npz_or_dict) -> None:
+    """All three analyses on one archive — the combined equivalent of the
+    reference's eval_conv_pose.py / eval_ape_calc.py / eval_lenght_ratio.py
+    CLIs."""
+    s = convergence_stats(npz_or_dict)
+    print(f"samples:              {s.num_samples}")
+    print(f"converged:            {s.num_converged}  ({s.convergence_rate:.1f}%)")
+    print(f"lowest pos error:     {s.mean_lowest_position_error:.2f} ± "
+          f"{s.std_lowest_position_error:.2f} cm")
+    print(f"lowest orient error:  {s.mean_lowest_orientation_error:.2f} ± "
+          f"{s.std_lowest_orientation_error:.2f} deg")
+    print(f"mean iterations:      {s.mean_iterations:.1f}")
+    print(f"total exec time:      {s.total_execution_time:.1f} s")
+    (pm, ps), (rm, rs) = ape(npz_or_dict)
+    print(f"position APE:         {pm:.2f} ± {ps:.2f} cm")
+    print(f"orientation APE:      {rm:.2f} ± {rs:.2f} deg")
+    lm, ls = length_ratio(npz_or_dict)
+    print(f"length ratio:         {lm:.3f} ± {ls:.3f}")
+
+
 def length_ratio(npz_or_dict, desired_position=DESIRED_POSITION):
     """Actual trajectory length / straight-line length over converged samples
     (eval_lenght_ratio.py:15-93).  Returns (mean, std)."""
@@ -130,3 +150,12 @@ def length_ratio(npz_or_dict, desired_position=DESIRED_POSITION):
         return float("nan"), float("nan")
     r = np.asarray(ratios)
     return float(r.mean()), float(r.std())
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) != 2:
+        print("usage: python -m vitvs_tpu.harness.evals results_*.npz")
+        raise SystemExit(1)
+    print_report(sys.argv[1])

@@ -38,6 +38,10 @@ def main(argv=None):
                    help="orbax checkpoint dir of converted DINOv2 weights")
     p.add_argument("--out", default=".", help="results output directory")
     p.add_argument("--chunk", type=int, default=8, help="vmap batch size")
+    p.add_argument("--poster", default=None,
+                   help="image file for the poster texture (default: synthetic)")
+    p.add_argument("--resume", default=None,
+                   help="episode checkpoint file for crash-resumable sweeps")
     args = p.parse_args(argv)
 
     from vitvs_tpu.io_bridge.config import VSConfig, load_config
@@ -58,20 +62,29 @@ def main(argv=None):
     config_name = (os.path.splitext(os.path.basename(args.config))[0]
                    if args.config else "config")
 
+    scene = None
+    if args.poster:
+        from vitvs_tpu.io_bridge.images import load_image
+        from vitvs_tpu.sim import Scene
+
+        scene = Scene.create(load_image(args.poster))
+
     if args.method == "dino":
         from vitvs_tpu.harness.benchmark import run_benchmark
 
         stats, path, _ = run_benchmark(
-            cfg, params=params, out_dir=args.out, config_name=config_name,
+            cfg, params=params, scene=scene, out_dir=args.out,
+            config_name=config_name,
             perturbation=args.perturbation,
             rotation_search=not args.no_rotation_search,
             chunk=args.chunk, num_steps=args.num_steps,
+            checkpoint_path=args.resume,
         )
     else:
         from vitvs_tpu.classical.benchmark import run_classical_benchmark
 
         stats, path, _ = run_classical_benchmark(
-            cfg, out_dir=args.out, config_name=config_name,
+            cfg, scene=scene, out_dir=args.out, config_name=config_name,
             method=args.method if args.method != "classical" else "sift",
             perturbation=args.perturbation, chunk=args.chunk,
             num_steps=args.num_steps,

@@ -64,6 +64,11 @@ class ViTConfig:
     # differences are ~1e-3 relative (cosine-matching invariant in practice).
     # Exact erf is kept the default for torch parity.
     gelu_approx: bool = False
+    # keep LayerNorm statistics in f32 (parity default); False computes them
+    # in the compute dtype — faster VPU path, bf16-level descriptor error
+    ln_f32: bool = True
+    # attention softmax accumulation dtype (f32 parity default)
+    softmax_f32: bool = True
     # 'dino' models normalize with ImageNet stats, timm ones with 0.5 (extractor.py:49-50)
     model_name: str = "dinov2_vits14"
 
@@ -164,13 +169,14 @@ def init_vit(cfg: ViTConfig, key: jax.Array, dtype=jnp.float32) -> ViTParams:
 # ---------------------------------------------------------------------------
 
 
-def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """LayerNorm with float32 statistics regardless of compute dtype."""
-    xf = x.astype(jnp.float32)
+def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float,
+               f32: bool = True) -> jnp.ndarray:
+    """LayerNorm; float32 statistics by default regardless of compute dtype."""
+    xf = x.astype(jnp.float32) if f32 else x
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+    return (y * scale.astype(xf.dtype) + bias.astype(xf.dtype)).astype(x.dtype)
 
 
 def _attention(
@@ -194,8 +200,10 @@ def _attention(
         out = mha_attention(q, k, v).reshape(B, T, D)
     else:
         scale = 1.0 / math.sqrt(hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision).astype(jnp.float32) * scale
-        probs = jax.nn.softmax(logits, axis=-1).astype(x_norm.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision)
+        if cfg.softmax_f32:
+            logits = logits.astype(jnp.float32)
+        probs = jax.nn.softmax(logits * scale, axis=-1).astype(x_norm.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=precision).reshape(B, T, D)
     return jnp.einsum("btd,de->bte", out, bp["proj_kernel"], precision=precision) + bp["proj_bias"]
 
@@ -208,8 +216,8 @@ def _mlp(x_norm: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig, precis
 
 def _block(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig, precision) -> jnp.ndarray:
     """Pre-norm block with LayerScale (dino_patch/block.py:90-117, eval path)."""
-    x = x + bp["ls1"] * _attention(_layernorm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.ln_eps), bp, cfg, precision)
-    x = x + bp["ls2"] * _mlp(_layernorm(x, bp["norm2_scale"], bp["norm2_bias"], cfg.ln_eps), bp, cfg, precision)
+    x = x + bp["ls1"] * _attention(_layernorm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.ln_eps, cfg.ln_f32), bp, cfg, precision)
+    x = x + bp["ls2"] * _mlp(_layernorm(x, bp["norm2_scale"], bp["norm2_bias"], cfg.ln_eps, cfg.ln_f32), bp, cfg, precision)
     return x
 
 
@@ -318,7 +326,7 @@ def vit_features(
     # (dinov2_extractor.py:212-218).
     x = _run_blocks(x, _slice_blocks(blocks, 0, layer), cfg, precision)
     bp = _take_block(blocks, layer)
-    x_norm = _layernorm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.ln_eps)
+    x_norm = _layernorm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.ln_eps, cfg.ln_f32)
     B, T, D = x_norm.shape
     h, hd = cfg.num_heads, cfg.head_dim
     qkv = jnp.einsum("btd,de->bte", x_norm, bp["qkv_kernel"], precision=precision) + bp["qkv_bias"]
