@@ -39,10 +39,18 @@ def main():
     from vitvs_tpu.io_bridge.config import VSConfig
     from vitvs_tpu.models import vit as vit_mod
 
+    import dataclasses
+
+    from vitvs_tpu.models.quant import quantize_vit_params
+
     cfg = VSConfig(dino_input_size=518, model_name="dinov2_vitb14", layer=11,
                    pinv_mode="dls")
+    # production serving configuration: int8 W8A8 projections (validated to
+    # preserve the matching structure, tests/test_quant.py), tanh GELU,
+    # bf16 elsewhere
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
-    params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(0))
+    model = dataclasses.replace(model, quantized=True)
+    params = quantize_vit_params(vit_mod.init_vit(model.vit, jax.random.PRNGKey(0)))
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((N_FRAMES, cfg.v_max, cfg.u_max, 3)),

@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--gelu-approx", action="store_true")
     ap.add_argument("--fast-math", action="store_true", help="gelu approx + bf16 LN + bf16 softmax")
+    ap.add_argument("--quant", action="store_true", help="int8 W8A8 ViT path")
     ap.add_argument("--size", type=int, default=518)
     args = ap.parse_args()
 
@@ -67,6 +68,11 @@ def main():
     params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(0))
     if args.bf16_params:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    if args.quant:
+        from vitvs_tpu.models.quant import quantize_vit_params
+        import dataclasses as _dc2
+        params = quantize_vit_params(params)
+        model = _dc2.replace(model, quantized=True)
     rng = np.random.default_rng(0)
     N = 4
     frames = jax.device_put(jnp.asarray(rng.random((N, 480, 640, 3), np.float32)))

@@ -1,0 +1,95 @@
+"""int8 W8A8 serving-path tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vitvs_tpu.models import vit as vit_mod
+from vitvs_tpu.models.extractor import extract_descriptors
+from vitvs_tpu.models.quant import quantize_vit_params, _quantize_weight
+
+RNG = np.random.default_rng(55)
+
+
+def _real_scale_params(cfg, seed=0):
+    """Random params with LayerScale ~ 1 so blocks actually transform the
+    tokens (DINOv2's trained gammas are O(1); the 1e-5 init would mask
+    quantization error)."""
+    params = vit_mod.init_vit(cfg, jax.random.PRNGKey(seed))
+    params["blocks"]["ls1"] = jnp.ones_like(params["blocks"]["ls1"])
+    params["blocks"]["ls2"] = jnp.ones_like(params["blocks"]["ls2"])
+    return params
+
+
+def test_weight_quantization_roundtrip():
+    w = jnp.asarray(RNG.standard_normal((4, 16, 8)).astype(np.float32))
+    q, s = _quantize_weight(w)
+    assert q.dtype == jnp.int8
+    deq = q.astype(jnp.float32) * s
+    rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
+    assert rel < 0.005  # int8 per-channel: ~0.2% RMS
+
+
+def test_quantized_descriptors_close_to_fp():
+    cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=192, depth=4, num_heads=3,
+                            pos_grid=16, stride=14, model_name="tiny")
+    params = _real_scale_params(cfg)
+    qp = quantize_vit_params(params)
+    img = jnp.asarray(RNG.random((1, 154, 154, 3)), jnp.float32)
+    ref = np.asarray(extract_descriptors(params, cfg, img, layer=3, facet="token",
+                                         bin=False, compute_dtype=jnp.float32))[0, 0]
+    out = np.asarray(extract_descriptors(qp, cfg, img, layer=3, facet="token",
+                                         bin=False, compute_dtype=jnp.float32,
+                                         quantized=True))[0, 0]
+    # per-token cosine similarity is what matching consumes
+    cos = (ref * out).sum(-1) / (np.linalg.norm(ref, axis=-1)
+                                 * np.linalg.norm(out, axis=-1) + 1e-12)
+    assert cos.min() > 0.995, cos.min()
+
+
+def test_quantized_matching_agrees_with_fp():
+    """The nearest-neighbour structure (what the controller consumes) must
+    survive quantization on a realistic scene."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rollout import GOAL_POS, GOAL_QUAT
+    from vitvs_tpu.sim import Scene, make_synthetic_poster, observe
+    from vitvs_tpu.core.camera import CameraIntrinsics
+    from vitvs_tpu.core import se3
+    from vitvs_tpu.match import cosine_similarity_matrix
+    from vitvs_tpu.core.image import preprocess_frame
+
+    cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=192, depth=2, num_heads=3,
+                            pos_grid=16, stride=14, model_name="tiny")
+    params = _real_scale_params(cfg)
+    qp = quantize_vit_params(params)
+    cam = CameraIntrinsics(width=128, height=128, fx=100.5, fy=100.5)
+    scene = Scene.create(make_synthetic_poster(256, seed=3))
+    rgb1, _ = observe(scene, cam, GOAL_POS, GOAL_QUAT)
+    rgb2, _ = observe(scene, cam, GOAL_POS + jnp.array([0.03, 0.0, 0.05]), GOAL_QUAT)
+
+    def descs(p, quant):
+        out = []
+        for rgb in (rgb1, rgb2):
+            x = preprocess_frame(rgb, 112)[None]
+            out.append(extract_descriptors(p, cfg, x, layer=1, facet="token",
+                                           bin=True, compute_dtype=jnp.float32,
+                                           quantized=quant)[0, 0])
+        return out
+
+    d1, d2 = descs(params, False)
+    q1, q2 = descs(qp, True)
+    nn_fp = np.asarray(jnp.argmax(cosine_similarity_matrix(d1, d2), axis=1))
+    nn_q = np.asarray(jnp.argmax(cosine_similarity_matrix(q1, q2), axis=1))
+    agreement = (nn_fp == nn_q).mean()
+    assert agreement > 0.9, agreement
+
+
+def test_quantized_only_token_facet():
+    cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=96, depth=1, num_heads=3,
+                            pos_grid=16, stride=14)
+    qp = quantize_vit_params(vit_mod.init_vit(cfg, jax.random.PRNGKey(0)))
+    img = jnp.zeros((1, 56, 56, 3))
+    with pytest.raises(AssertionError):
+        extract_descriptors(qp, cfg, img, layer=0, facet="key", quantized=True)

@@ -61,6 +61,8 @@ class ServoModel:
     # route the match argmax through the fused Pallas kernel (ops/matcher.py);
     # automatically falls back to XLA off-TPU
     use_match_kernel: bool = False
+    # int8 W8A8 serving path (params must come from quantize_vit_params)
+    quantized: bool = False
 
     @staticmethod
     def create(cfg: VSConfig, compute_dtype=jnp.bfloat16, precision=None,
@@ -123,6 +125,7 @@ def goal_descriptors(params: ViTParams, model: ServoModel, goal_rgb: jnp.ndarray
         params, model.vit, x, layer=model.cfg.layer, facet=model.cfg.facet,
         bin=model.cfg.use_feature_binning,
         compute_dtype=model.compute_dtype, precision=model.precision,
+        quantized=model.quantized,
     )
     return desc[0, 0]
 
@@ -153,6 +156,7 @@ def servo_step(
         params, model.vit, x, layer=cfg.layer, facet=cfg.facet,
         bin=cfg.use_feature_binning,
         compute_dtype=model.compute_dtype, precision=model.precision,
+        quantized=model.quantized,
     )[0, 0]
 
     grid = model.grid()

@@ -48,10 +48,19 @@ class MatchResult(NamedTuple):
 def cosine_similarity_matrix(
     desc1: jnp.ndarray, desc2: jnp.ndarray, precision=None
 ) -> jnp.ndarray:
-    """(t1, d) x (t2, d) -> (t1, t2) cosine similarities (one MXU matmul)."""
-    a = desc1 * jax.lax.rsqrt(jnp.sum(desc1 * desc1, -1, keepdims=True) + 1e-24)
-    b = desc2 * jax.lax.rsqrt(jnp.sum(desc2 * desc2, -1, keepdims=True) + 1e-24)
-    return jnp.einsum("td,sd->ts", a, b, precision=precision)
+    """(t1, d) x (t2, d) -> (t1, t2) cosine similarities (one MXU matmul).
+
+    Norms accumulate in f32; the matmul runs in the descriptor dtype (bf16 on
+    TPU — 2x MXU rate) with f32 accumulation, returning f32."""
+
+    def _normalize(d):
+        sq = jnp.sum(jnp.square(d.astype(jnp.float32)), -1, keepdims=True)
+        return d * jax.lax.rsqrt(sq + 1e-24).astype(d.dtype)
+
+    a = _normalize(desc1)
+    b = _normalize(desc2)
+    return jnp.einsum("td,sd->ts", a, b, precision=precision,
+                      preferred_element_type=jnp.float32)
 
 
 def _to_cartesian(idx: jnp.ndarray, width: int) -> jnp.ndarray:

@@ -82,15 +82,25 @@ def extract_descriptors(
     hierarchy: int = 1,
     compute_dtype=jnp.float32,
     precision=None,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """Dense patch descriptors, shape (B, 1, t, d') — same layout as the
     reference `extract_descriptors` (dinov2_extractor.py:313-337).
 
     facet 'token': d' = D;   'key'/'query'/'value': d' = D (heads folded,
     reference ordering: per-component-then-head);  bin=True: d' *= 9.
+
+    quantized=True serves the int8 W8A8 path (models/quant.py; params must
+    come from `quantize_vit_params`).
     """
-    assert facet in ("token", "key", "query", "value")
-    feats = vit_features(params, cfg, images, layer, facet, compute_dtype, precision)
+    assert facet in ("token", "query", "value", "key")
+    if quantized:
+        from vitvs_tpu.models.quant import vit_features_quant
+
+        feats = vit_features_quant(params, cfg, images, layer, facet,
+                                   compute_dtype, precision)
+    else:
+        feats = vit_features(params, cfg, images, layer, facet, compute_dtype, precision)
     if facet == "token":
         x = feats  # (B, 1+t, D)
     else:
@@ -104,8 +114,10 @@ def extract_descriptors(
         return x[:, None, :, :]
     x = x[:, 1:, :]  # drop cls token
     if bin:
+        # dtype-preserving: binned descriptors stay in the compute dtype so
+        # the downstream similarity matmul runs at full MXU rate
         h, w = images.shape[-3], images.shape[-2]
-        x = log_bin(x.astype(jnp.float32), cfg.num_patches(h, w), hierarchy)
+        x = log_bin(x, cfg.num_patches(h, w), hierarchy)
     return x[:, None, :, :]
 
 
