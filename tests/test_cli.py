@@ -1,0 +1,37 @@
+"""CLI and classical-benchmark smoke tests."""
+
+import numpy as np
+import pytest
+
+from vitvs_tpu.io_bridge import cli
+
+
+def test_cli_help():
+    with pytest.raises(SystemExit) as e:
+        cli.main(["--help"])
+    assert e.value.code == 0
+
+
+def test_cli_rejects_unknown_method():
+    with pytest.raises(SystemExit):
+        cli.main(["--method", "bogus"])
+
+
+def test_classical_benchmark_smoke(tmp_path):
+    """Tiny classical sweep end-to-end (small camera via config override)."""
+    from vitvs_tpu.classical.benchmark import run_classical_benchmark
+    from vitvs_tpu.io_bridge.config import VSConfig
+    from vitvs_tpu.sim import Scene, make_synthetic_poster
+
+    cfg = VSConfig(u_max=128, v_max=128, f_x=100.5, f_y=100.5,
+                   num_pairs=12, lambda_=0.5, control_dt=0.1,
+                   num_samples=2, num_circles=1, max_iterations=6,
+                   pinv_mode="dls")
+    scene = Scene.create(make_synthetic_poster(128, seed=1))
+    stats, path, _ = run_classical_benchmark(
+        cfg, scene=scene, out_dir=str(tmp_path), config_name="smoke",
+        method="sift", chunk=2, num_steps=6, max_corners=128, verbose=False)
+    assert stats.num_samples == 2
+    assert path.endswith("results_smoke_sift_standard.npz")
+    d = np.load(path, allow_pickle=True)
+    assert len(d["convergence_flags"]) == 2

@@ -36,7 +36,8 @@ def run_classical_benchmark(
     verbose: bool = True,
 ):
     t_start = time.time()
-    cfg = cfg.replace(divergence_multiplier=5.0)  # ibvs_standard.py:215
+    cfg = cfg.replace(divergence_multiplier=5.0,       # ibvs_standard.py:215
+                      early_divergence_abort=True)     # ibvs_standard.py:459-464
     model = ServoModel.create(cfg.replace(model_name="dinov2_vits14"),
                               compute_dtype=jnp.float32)
     model = ServoModel(vit=model.vit, cfg=cfg, compute_dtype=jnp.float32)

@@ -127,6 +127,12 @@ def rollout_episode(
 
         fail_count = jnp.where(step.feature_ok, 0, carry.fail_count + 1)
         aborted = carry.aborted | (fail_count >= cfg.max_feature_failures)
+        if cfg.early_divergence_abort:
+            # classical controller: per-iteration divergence abort
+            # (ibvs_standard.py:459-464), independent of min_iterations
+            et_now, _ = pose_errors(carry.position, carry.quat,
+                                    desired_position, desired_quat)
+            aborted = aborted | (et_now > cfg.divergence_multiplier * e0t)
 
         position, quat = env_step(carry.position, carry.quat, step.body_twist,
                                   cfg.control_dt)

@@ -51,7 +51,7 @@ def main(argv=None):
         cfg = cfg.replace(num_samples=args.num_samples)
     if args.method in ("classical", "sift", "orb", "akaze"):
         # classical controller uses the 5x divergence abort (ibvs_standard.py:215)
-        cfg = cfg.replace(divergence_multiplier=5.0)
+        cfg = cfg.replace(divergence_multiplier=5.0, early_divergence_abort=True)
 
     params = None
     if args.checkpoint:

@@ -78,6 +78,10 @@ class VSConfig:
     reference_pad_bug: bool = False
     # consecutive feature failures before aborting a sample (vitvs_v2.py:500-505)
     max_feature_failures: int = 10
+    # classical-controller parity: check the divergence abort every iteration
+    # inside the step (ibvs_standard.py:459-464), not only after
+    # min_iterations.  Off for the ViT controller (vitvs_v2 has no such check).
+    early_divergence_abort: bool = False
 
     @property
     def c_x(self) -> float:

@@ -56,10 +56,14 @@ def quantize_vit_params(params: ViTParams) -> QuantParams:
 
 
 def _dyn_quant_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, T, D) -> int8 values + (B, T, 1) f32 scales (per-token)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    """(B, T, D) -> int8 values + (B, T, 1) f32 scales (per-token).
+
+    The rescale+round runs in the input dtype (bf16 holds integers <= 256
+    exactly), avoiding a full f32 materialization of the activations."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
     scale = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    inv = (1.0 / scale).astype(x.dtype)
+    q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
     return q, scale
 
 
