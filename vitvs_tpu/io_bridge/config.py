@@ -71,7 +71,15 @@ class VSConfig:
     # divergence abort multiplier: 2x for the ViT controller (vitvs_v2.py:359),
     # 5x for the classical controller (ibvs_standard.py:215)
     divergence_multiplier: float = 2.0
-    control_dt: float = 0.02  # actuation at 50 Hz (gazebo_vel_broadcaster.py:59)
+    # Effective integration period per CONTROLLER iteration.  The reference's
+    # Gazebo integrates the last twist continuously (broadcaster at 50 Hz,
+    # gazebo_vel_broadcaster.py:59) while the GPU-bound controller iterates at
+    # ~2-3 Hz (two ViT forwards + per-frame matplotlib, vitvs_v2.py:630-632),
+    # so each commanded velocity acts for ~0.3-0.5 s.  The iteration-indexed
+    # convergence logic (min 300 / max 1500 iterations) only reproduces the
+    # reference's closed-loop behavior with a comparable per-iteration dt:
+    # lambda*dt*1500 must comfortably exceed the 90% error-reduction target.
+    control_dt: float = 0.4
     # Reproduce the reference's zero-padding of missing matches into phantom
     # (0,0) pixel features (`calculate_uv`, vitvs_v2.py:533-553).  Default off:
     # invalid pairs are masked out of the least-squares solve instead.
