@@ -33,7 +33,12 @@ def build_model(cfg: VSConfig, params=None, compute_dtype=jnp.bfloat16,
                 seed: int = 0):
     model = ServoModel.create(cfg, compute_dtype=compute_dtype)
     if params is None:
-        params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(seed))
+        if cfg.model_name.startswith("pixel"):
+            from vitvs_tpu.models.baselines import init_pixel_params
+
+            params = init_pixel_params(model.vit)
+        else:
+            params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(seed))
     return params, model
 
 

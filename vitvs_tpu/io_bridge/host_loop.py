@@ -26,6 +26,7 @@ from typing import Callable, Protocol
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import io_callback
 
 from vitvs_tpu.control import EmaState
 from vitvs_tpu.harness.pipeline import ServoModel, goal_descriptors, servo_step
@@ -60,13 +61,13 @@ def make_io_servo_step(params, model: ServoModel, goal_desc,
 
     @jax.jit
     def step(params, goal_desc, ema_value, ema_init, prev_v, key):
-        rgb, depth = jax.experimental.io_callback(
+        rgb, depth = io_callback(
             _pull, (jax.ShapeDtypeStruct((h, w, 3), jnp.uint8),
                     jax.ShapeDtypeStruct((h, w), jnp.float32)),
             ordered=True)
         res = servo_step(params, model, goal_desc, rgb, depth,
                          EmaState(ema_value, ema_init), prev_v, key)
-        jax.experimental.io_callback(
+        io_callback(
             _push, jax.ShapeDtypeStruct((), jnp.int32), res.body_twist,
             ordered=True)
         return res.ema.value, res.ema.initialized, res.v_c, res.feature_ok

@@ -105,6 +105,10 @@ PRESETS: dict[str, dict] = {
 
 
 def make_config(model_name: str, stride: int | None = None) -> ViTConfig:
+    if model_name.startswith("pixel"):
+        from vitvs_tpu.models.baselines import pixel_config
+
+        return pixel_config(model_name)
     if model_name not in PRESETS:
         raise ValueError(f"unknown model {model_name!r}; options: {sorted(PRESETS)}")
     kw = dict(PRESETS[model_name])
