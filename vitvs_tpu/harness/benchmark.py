@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from vitvs_tpu.harness import evals, results, samplers
 from vitvs_tpu.harness.pipeline import ServoModel, goal_descriptors
-from vitvs_tpu.harness.rollout import find_best_start_pose, rollout_episode
+from vitvs_tpu.harness.rollout import find_best_start_pose
 from vitvs_tpu.io_bridge.config import VSConfig
 from vitvs_tpu.models import vit as vit_mod
 from vitvs_tpu.sim import Scene, make_synthetic_poster, observe, perturb_texture
@@ -59,6 +59,7 @@ def run_benchmark(
     rotation_search: bool = True,
     chunk: int = 8,
     num_steps: int | None = None,
+    segment_steps: int | None = 250,
     seed: int = 41,                      # reference seed (vitvs_v2.py:1398)
     perturb_seed: int = 489,             # generate_perturbed_models.py:68
     save: bool = True,
@@ -114,19 +115,53 @@ def run_benchmark(
                                         jax.random.PRNGKey(1000 + i))))
         best_quats = np.stack(bq)
 
-    # vmapped rollouts in chunks
-    @jax.jit
-    def run_chunk_notx(params, goal_desc, scene, starts, sqs, keys):
-        return jax.vmap(lambda sp, sq, k: rollout_episode(
-            params, model, scene, goal_desc, sp, sq, k, num_steps=num_steps)
-        )(starts, sqs, keys)
+    # vmapped rollouts in chunks, executed as host-chained SEGMENTS so no
+    # single device program runs unboundedly long (long uninterrupted
+    # programs can trip runtime watchdogs; segments also enable mid-episode
+    # checkpointing)
+    from vitvs_tpu.harness.rollout import (
+        episode_init, finalize_episode, rollout_segment)
+
+    T = num_steps or cfg.max_iterations
+    seg = max(1, min(segment_steps or T, T))
+    desired_p = jnp.asarray(samplers.DESIRED_POSITION, jnp.float32)
+    desired_q = jnp.asarray(samplers.DESIRED_ORIENTATION, jnp.float32)
 
     @jax.jit
-    def run_chunk_tx(params, goal_desc, scene, sc_textures, starts, sqs, keys):
-        return jax.vmap(lambda tx, sp, sq, k: rollout_episode(
-            params, model, scene._replace(texture=tx), goal_desc, sp, sq, k,
-            num_steps=num_steps)
-        )(sc_textures, starts, sqs, keys)
+    def init_chunk(starts, sqs, keys):
+        return jax.vmap(lambda sp, sq, k: episode_init(sp, sq, k, desired_p, desired_q)
+                        )(starts, sqs, keys)
+
+    @jax.jit
+    def seg_chunk_notx(params, goal_desc, scene, carry):
+        return jax.vmap(lambda c: rollout_segment(
+            params, model, scene, goal_desc, c, seg, desired_p, desired_q))(carry)
+
+    @jax.jit
+    def seg_chunk_tx(params, goal_desc, scene, sc_textures, carry):
+        return jax.vmap(lambda tx, c: rollout_segment(
+            params, model, scene._replace(texture=tx), goal_desc, c, seg,
+            desired_p, desired_q))(sc_textures, carry)
+
+    @jax.jit
+    def finalize_chunk(carry, ys):
+        return jax.vmap(lambda c, y: finalize_episode(c, y, desired_p, desired_q)
+                        )(carry, ys)
+
+    def run_chunk(tx, starts, sqs, keys):
+        carry = init_chunk(starts, sqs, keys)
+        ys_parts = []
+        done = 0
+        while done < T:
+            if tx is None:
+                carry, ys = seg_chunk_notx(params, goal_desc, scene, carry)
+            else:
+                carry, ys = seg_chunk_tx(params, goal_desc, scene, tx, carry)
+            ys_parts.append(ys)
+            done += seg
+        full_ys = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=1),
+                               *ys_parts)
+        return finalize_chunk(carry, full_ys)
 
     episodes = []
     if checkpoint_path and os.path.exists(checkpoint_path):
@@ -149,12 +184,8 @@ def run_benchmark(
             return jnp.asarray(a)
 
         keys = jax.random.split(jax.random.PRNGKey(lo), chunk)
-        if textures is None:
-            batch = run_chunk_notx(params, goal_desc, scene, padded(positions),
-                                   padded(best_quats), keys)
-        else:
-            batch = run_chunk_tx(params, goal_desc, scene, padded(textures),
-                                 padded(positions), padded(best_quats), keys)
+        tx = None if textures is None else padded(textures)
+        batch = run_chunk(tx, padded(positions), padded(best_quats), keys)
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))

@@ -91,21 +91,27 @@ def rollout_episode(
 ) -> EpisodeResult:
     """`step_fn(rgb, depth, ema, prev_v, key) -> StepResult` may override the
     per-frame pipeline (e.g. the classical feature path); defaults to the
-    ViT `servo_step`."""
-    cfg = model.cfg
-    cam = model.camera
-    if step_fn is None:
-        def step_fn(rgb, depth, ema, prev_v, key):  # noqa: F811
-            return servo_step(params, model, goal_desc, rgb, depth, ema, prev_v, key)
+    ViT `servo_step`.
+
+    For long rollouts that should not run as one uninterrupted device
+    program, use episode_init / rollout_segment / finalize_episode and chain
+    segments from the host (harness/benchmark.py does this)."""
     desired_position = (jnp.asarray(DESIRED_POSITION, jnp.float32)
                         if desired_position is None else desired_position)
     desired_quat = (jnp.asarray(DESIRED_ORIENTATION, jnp.float32)
                     if desired_quat is None else desired_quat)
-    T = num_steps or cfg.max_iterations
+    T = num_steps or model.cfg.max_iterations
+    carry0 = episode_init(start_position, start_quat, key,
+                          desired_position, desired_quat)
+    carry, ys = rollout_segment(params, model, scene, goal_desc, carry0, T,
+                                desired_position, desired_quat, step_fn)
+    return finalize_episode(carry, ys, desired_position, desired_quat)
 
+
+def episode_init(start_position, start_quat, key,
+                 desired_position, desired_quat) -> EpisodeCarry:
     e0t, e0r = pose_errors(start_position, start_quat, desired_position, desired_quat)
-
-    carry0 = EpisodeCarry(
+    return EpisodeCarry(
         position=start_position.astype(jnp.float32),
         quat=start_quat.astype(jnp.float32),
         ema=EmaState.init(),
@@ -117,6 +123,26 @@ def rollout_episode(
         lowest_rot_err=jnp.asarray(jnp.inf),
         key=key,
     )
+
+
+def rollout_segment(
+    params,
+    model: ServoModel,
+    scene: Scene,
+    goal_desc: jnp.ndarray,
+    carry0: EpisodeCarry,
+    num_steps: int,
+    desired_position: jnp.ndarray,
+    desired_quat: jnp.ndarray,
+    step_fn=None,
+) -> tuple[EpisodeCarry, dict]:
+    """num_steps servo iterations from an arbitrary carry (scan segment)."""
+    cfg = model.cfg
+    cam = model.camera
+    if step_fn is None:
+        def step_fn(rgb, depth, ema, prev_v, key):  # noqa: F811
+            return servo_step(params, model, goal_desc, rgb, depth, ema, prev_v, key)
+    e0t = carry0.conv.initial_err_trans
 
     def body(carry: EpisodeCarry, _):
         frozen = carry.conv.done | carry.aborted
@@ -166,8 +192,12 @@ def rollout_episode(
         }
         return carry_out, ys
 
-    carry, ys = jax.lax.scan(body, carry0, None, length=T)
+    return jax.lax.scan(body, carry0, None, length=num_steps)
 
+
+def finalize_episode(carry: EpisodeCarry, ys: dict,
+                     desired_position, desired_quat) -> EpisodeResult:
+    """Package a finished carry + (possibly host-concatenated) ys."""
     final_et, final_er = pose_errors(carry.position, carry.quat,
                                      desired_position, desired_quat)
     inf = jnp.asarray(jnp.inf)
