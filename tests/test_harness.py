@@ -165,3 +165,20 @@ def test_stage_timer():
     s = t.summary()
     assert s["work"]["count"] == 2
     assert "work" in t.report()
+
+
+def test_segmented_rollout_matches_single_segment(tmp_path):
+    """Host-chained segments must be bit-identical to one long scan."""
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=20)
+    cfg = model.cfg.replace(num_samples=2, num_circles=1)
+    common = dict(params=params, model=model, scene=scene, out_dir=str(tmp_path),
+                  rotation_search=False, chunk=2, num_steps=20, verbose=False,
+                  save=False)
+    s1, _, sum1 = run_benchmark(cfg, config_name="a", segment_steps=None, **common)
+    s2, _, sum2 = run_benchmark(cfg, config_name="b", segment_steps=5, **common)
+    assert s1.num_converged == s2.num_converged
+    for k in ("final_positions", "lowest_position_errors", "all_iteration_histories"):
+        np.testing.assert_allclose(np.asarray(sum1[k], float),
+                                   np.asarray(sum2[k], float), atol=1e-6)
+    for a, b in zip(sum1["all_position_histories"], sum2["all_position_histories"]):
+        np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float), atol=1e-6)

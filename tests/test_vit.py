@@ -149,3 +149,32 @@ class TestConvertRoundtrip:
         assert cfg.embed_dim == 384 and cfg.depth == 2 and cfg.num_heads == 6
         assert cfg.use_layerscale
         assert params["blocks"]["qkv_kernel"].shape == (2, 384, 1152)
+
+
+class TestSwiGLU:
+    def test_swiglu_forward_parity(self):
+        """DINOv2-giant-style SwiGLU FFN vs torch oracle."""
+        tm = TorchViT(patch=14, dim=96, depth=2, heads=3, pos_grid=16,
+                      layerscale=True, swiglu=True)
+        tm.eval()
+        gen = torch.Generator().manual_seed(5)
+        with torch.no_grad():
+            for p in tm.parameters():
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.02)
+        params, cfg = convert.from_torch_state_dict(tm.state_dict())
+        assert cfg.ffn == "swiglu"
+        cfg = vit.ViTConfig(patch_size=14, embed_dim=96, depth=2, num_heads=3,
+                            pos_grid=16, stride=14, ffn="swiglu",
+                            ffn_hidden=cfg.ffn_hidden)
+        img = RNG.standard_normal((1, 112, 112, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm.forward_features(torch.from_numpy(img).permute(0, 3, 1, 2),
+                                      upto=1).numpy()
+        ours = np.asarray(vit.vit_features(params, cfg, jnp.asarray(img), layer=1,
+                                           facet="token", precision="highest"))
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+    def test_giant_preset(self):
+        cfg = vit.make_config("dinov2_vitg14")
+        assert cfg.ffn == "swiglu" and cfg.embed_dim == 1536 and cfg.depth == 40
+        assert cfg.hidden_dim == 4096

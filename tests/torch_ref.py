@@ -17,9 +17,10 @@ import torch.nn.functional as F
 
 
 class TorchBlock(nn.Module):
-    def __init__(self, dim, heads, mlp_ratio=4.0, layerscale=True):
+    def __init__(self, dim, heads, mlp_ratio=4.0, layerscale=True, swiglu=False):
         super().__init__()
         self.num_heads = heads
+        self.swiglu = swiglu
         self.norm1 = nn.LayerNorm(dim, eps=1e-6)
         self.attn = nn.Module()
         self.attn.qkv = nn.Linear(dim, dim * 3, bias=True)
@@ -27,10 +28,16 @@ class TorchBlock(nn.Module):
         self.ls1 = nn.Module()
         self.ls1.gamma = nn.Parameter(torch.ones(dim) * (1e-5 if layerscale else 1.0))
         self.norm2 = nn.LayerNorm(dim, eps=1e-6)
-        hidden = int(dim * mlp_ratio)
         self.mlp = nn.Module()
-        self.mlp.fc1 = nn.Linear(dim, hidden, bias=True)
-        self.mlp.fc2 = nn.Linear(hidden, dim, bias=True)
+        if swiglu:
+            # DINOv2 SwiGLUFFNFused width
+            hidden = (int(dim * mlp_ratio * 2 / 3) + 7) // 8 * 8
+            self.mlp.w12 = nn.Linear(dim, 2 * hidden, bias=True)
+            self.mlp.w3 = nn.Linear(hidden, dim, bias=True)
+        else:
+            hidden = int(dim * mlp_ratio)
+            self.mlp.fc1 = nn.Linear(dim, hidden, bias=True)
+            self.mlp.fc2 = nn.Linear(hidden, dim, bias=True)
         self.ls2 = nn.Module()
         self.ls2.gamma = nn.Parameter(torch.ones(dim) * (1e-5 if layerscale else 1.0))
 
@@ -45,6 +52,10 @@ class TorchBlock(nn.Module):
         return self.attn.proj(out)
 
     def mlp_forward(self, x):
+        if self.swiglu:
+            x12 = self.mlp.w12(x)
+            x1, x2 = x12.chunk(2, dim=-1)
+            return self.mlp.w3(F.silu(x1) * x2)
         return self.mlp.fc2(F.gelu(self.mlp.fc1(x)))
 
     def forward(self, x):
@@ -55,7 +66,7 @@ class TorchBlock(nn.Module):
 
 class TorchViT(nn.Module):
     def __init__(self, patch=14, dim=96, depth=4, heads=3, pos_grid=37,
-                 layerscale=True, stride=None):
+                 layerscale=True, stride=None, swiglu=False):
         super().__init__()
         self.patch_size = patch
         self.stride = stride or patch
@@ -66,7 +77,8 @@ class TorchViT(nn.Module):
         self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
         self.pos_embed = nn.Parameter(torch.zeros(1, 1 + pos_grid * pos_grid, dim))
         self.blocks = nn.ModuleList(
-            [TorchBlock(dim, heads, layerscale=layerscale) for _ in range(depth)]
+            [TorchBlock(dim, heads, layerscale=layerscale, swiglu=swiglu)
+             for _ in range(depth)]
         )
         self.norm = nn.LayerNorm(dim, eps=1e-6)
         nn.init.trunc_normal_(self.pos_embed, std=0.02)

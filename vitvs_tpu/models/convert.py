@@ -46,6 +46,10 @@ def infer_config(state_dict: Mapping[str, Any], model_name: str | None = None,
     n = _np(state_dict["pos_embed"]).shape[1] - 1
     pos_grid = int(round(np.sqrt(n)))
     use_ls = "blocks.0.ls1.gamma" in state_dict or "blocks.0.gamma_1" in state_dict
+    swiglu = "blocks.0.mlp.w12.weight" in state_dict
+    ffn_hidden = None
+    if swiglu:
+        ffn_hidden = _np(state_dict["blocks.0.mlp.w3.weight"]).shape[1]
     if model_name is not None and model_name in PRESETS:
         cfg = make_config(model_name, stride)
         assert cfg.embed_dim == d and cfg.depth == depth, (
@@ -55,6 +59,7 @@ def infer_config(state_dict: Mapping[str, Any], model_name: str | None = None,
     return ViTConfig(patch_size=p, embed_dim=d, depth=depth, num_heads=heads,
                      pos_grid=pos_grid, use_layerscale=use_ls,
                      stride=stride if stride is not None else p,
+                     ffn="swiglu" if swiglu else "mlp", ffn_hidden=ffn_hidden,
                      model_name=model_name or f"custom_vit_d{d}_p{p}")
 
 
@@ -97,10 +102,19 @@ def from_torch_state_dict(
             "ls1": stack("blocks.{i}.ls1.gamma", default=ones_d),
             "norm2_scale": stack("blocks.{i}.norm2.weight"),
             "norm2_bias": stack("blocks.{i}.norm2.bias"),
-            "fc1_kernel": stack("blocks.{i}.mlp.fc1.weight", lambda a: a.T),
-            "fc1_bias": stack("blocks.{i}.mlp.fc1.bias"),
-            "fc2_kernel": stack("blocks.{i}.mlp.fc2.weight", lambda a: a.T),
-            "fc2_bias": stack("blocks.{i}.mlp.fc2.bias"),
+            # GELU MLP uses fc1/fc2; DINOv2-giant SwiGLU uses fused w12 + w3
+            "fc1_kernel": stack(
+                "blocks.{i}.mlp.w12.weight" if cfg.ffn == "swiglu"
+                else "blocks.{i}.mlp.fc1.weight", lambda a: a.T),
+            "fc1_bias": stack(
+                "blocks.{i}.mlp.w12.bias" if cfg.ffn == "swiglu"
+                else "blocks.{i}.mlp.fc1.bias"),
+            "fc2_kernel": stack(
+                "blocks.{i}.mlp.w3.weight" if cfg.ffn == "swiglu"
+                else "blocks.{i}.mlp.fc2.weight", lambda a: a.T),
+            "fc2_bias": stack(
+                "blocks.{i}.mlp.w3.bias" if cfg.ffn == "swiglu"
+                else "blocks.{i}.mlp.fc2.bias"),
             "ls2": stack("blocks.{i}.ls2.gamma", default=ones_d),
         },
         "norm_scale": jnp.asarray(sd["norm.weight"]),

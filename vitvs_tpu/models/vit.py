@@ -69,12 +69,26 @@ class ViTConfig:
     ln_f32: bool = True
     # attention softmax accumulation dtype (f32 parity default)
     softmax_f32: bool = True
+    # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
+    ffn: str = "mlp"
+    # explicit FFN hidden width; None = int(embed_dim * mlp_ratio) for mlp,
+    # or the DINOv2 fused-SwiGLU width round8(embed_dim * mlp_ratio * 2/3)
+    ffn_hidden: int | None = None
     # 'dino' models normalize with ImageNet stats, timm ones with 0.5 (extractor.py:49-50)
     model_name: str = "dinov2_vits14"
 
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
+
+    @property
+    def hidden_dim(self) -> int:
+        if self.ffn_hidden is not None:
+            return self.ffn_hidden
+        h = int(self.embed_dim * self.mlp_ratio)
+        if self.ffn == "swiglu":
+            return (int(h * 2 / 3) + 7) // 8 * 8
+        return h
 
     def num_patches(self, h: int, w: int) -> tuple[int, int]:
         """Patch-grid shape for an input of (h, w), honoring the stride
@@ -90,6 +104,7 @@ PRESETS: dict[str, dict] = {
     "dinov2_vits14": dict(patch_size=14, embed_dim=384, depth=12, num_heads=6, pos_grid=37),
     "dinov2_vitb14": dict(patch_size=14, embed_dim=768, depth=12, num_heads=12, pos_grid=37),
     "dinov2_vitl14": dict(patch_size=14, embed_dim=1024, depth=24, num_heads=16, pos_grid=37),
+    "dinov2_vitg14": dict(patch_size=14, embed_dim=1536, depth=40, num_heads=24, pos_grid=37, ffn="swiglu"),
     # DINO v1 family (pos grid 224/p; no LayerScale)
     "dino_vits8": dict(patch_size=8, embed_dim=384, depth=12, num_heads=6, pos_grid=28, use_layerscale=False),
     "dino_vits16": dict(patch_size=16, embed_dim=384, depth=12, num_heads=6, pos_grid=14, use_layerscale=False),
@@ -131,8 +146,9 @@ def init_vit(cfg: ViTConfig, key: jax.Array, dtype=jnp.float32) -> ViTParams:
     layout.  Real runs load converted DINOv2 checkpoints (models/convert.py)."""
     k = jax.random.split(key, 8)
     D, L = cfg.embed_dim, cfg.depth
-    H = int(cfg.embed_dim * cfg.mlp_ratio)
+    H = cfg.hidden_dim
     P = cfg.patch_size
+    fc1_out = 2 * H if cfg.ffn == "swiglu" else H
     N = cfg.pos_grid * cfg.pos_grid
 
     def tn(key, shape, std=0.02):
@@ -156,8 +172,8 @@ def init_vit(cfg: ViTConfig, key: jax.Array, dtype=jnp.float32) -> ViTParams:
             "ls1": jnp.full((L, D), 1e-5 if cfg.use_layerscale else 1.0, dtype),
             "norm2_scale": jnp.ones((L, D), dtype),
             "norm2_bias": jnp.zeros((L, D), dtype),
-            "fc1_kernel": tn(bk[2], (L, D, H)),
-            "fc1_bias": jnp.zeros((L, H), dtype),
+            "fc1_kernel": tn(bk[2], (L, D, fc1_out)),
+            "fc1_bias": jnp.zeros((L, fc1_out), dtype),
             "fc2_kernel": tn(bk[3], (L, H, D)),
             "fc2_bias": jnp.zeros((L, D), dtype),
             "ls2": jnp.full((L, D), 1e-5 if cfg.use_layerscale else 1.0, dtype),
@@ -214,7 +230,12 @@ def _attention(
 
 def _mlp(x_norm: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig, precision) -> jnp.ndarray:
     hidden = jnp.einsum("btd,dh->bth", x_norm, bp["fc1_kernel"], precision=precision) + bp["fc1_bias"]
-    hidden = jax.nn.gelu(hidden, approximate=cfg.gelu_approx)
+    if cfg.ffn == "swiglu":
+        # DINOv2 SwiGLUFFNFused: w12 fused -> silu(x1) * x2
+        x1, x2 = jnp.split(hidden, 2, axis=-1)
+        hidden = jax.nn.silu(x1) * x2
+    else:
+        hidden = jax.nn.gelu(hidden, approximate=cfg.gelu_approx)
     return jnp.einsum("bth,hd->btd", hidden, bp["fc2_kernel"], precision=precision) + bp["fc2_bias"]
 
 
