@@ -91,7 +91,8 @@ def generate_episode_starts(cfg: VSConfig, seed: int = 41):
     focal = sample_focal_points(n, REFERENCE_POINT, cfg.num_circles,
                                 cfg.circle_radius_aug, rng)
     mats = look_at_matrices(positions, focal)
-    quats = apply_optical_axis_rotation(mats, cfg.num_circles, per)
+    quats = apply_optical_axis_rotation(mats, cfg.num_circles, per,
+                                        rz_max=np.radians(cfg.rz_max_deg))
     return positions, quats, n
 
 

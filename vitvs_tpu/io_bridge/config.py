@@ -41,6 +41,9 @@ class VSConfig:
     num_samples: int = 500
     num_circles: int = 4
     circle_radius_aug: float = 0.08
+    # optical-axis spin range of sampled start poses (reference hardcodes
+    # rz_max = 120 deg in apply_z_axis_rotation, vitvs_v2.py:1295)
+    rz_max_deg: float = 120.0
 
     # Convergence (reference config.yaml:24-30)
     velocity_convergence_threshold: float = 0.00008
