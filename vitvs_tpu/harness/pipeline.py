@@ -65,13 +65,16 @@ class ServoModel:
     quantized: bool = False
 
     @staticmethod
-    def create(cfg: VSConfig, compute_dtype=jnp.bfloat16, precision=None,
+    def create(cfg: VSConfig, compute_dtype=None, precision=None,
                gelu_approx: bool = True) -> "ServoModel":
         """gelu_approx=True is the production default (tanh GELU, ~15% faster
         on the VPU, descriptor error ~1e-3 relative); pass False for strict
-        torch-parity numerics."""
+        torch-parity numerics.  compute_dtype defaults to cfg.compute_dtype
+        (bfloat16)."""
         import dataclasses as _dc
 
+        if compute_dtype is None:
+            compute_dtype = jnp.dtype(cfg.compute_dtype).type
         vit = _dc.replace(make_config(cfg.model_name, cfg.stride),
                           gelu_approx=gelu_approx)
         return ServoModel(

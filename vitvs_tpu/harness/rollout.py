@@ -182,12 +182,16 @@ def rollout_segment(
         carry_out = jax.tree.map(
             lambda old, nw: jnp.where(frozen, old, nw), carry, new
         )
+        # recorded errors must track the FROZEN pose after done/abort, not
+        # the phantom one-step integration computed above
+        rec_et, rec_er = pose_errors(carry_out.position, carry_out.quat,
+                                     desired_position, desired_quat)
         ys = {
             "position": carry_out.position,
             "quat": carry_out.quat,
             "v_c": jnp.where(frozen, jnp.zeros(6), step.v_c),
             "twist": jnp.where(frozen, jnp.zeros(6), step.body_twist),
-            "err": jnp.stack([et, er]),
+            "err": jnp.stack([rec_et, rec_er]),
             "active": ~frozen,
         }
         return carry_out, ys

@@ -273,7 +273,7 @@ def _embed(params: ViTParams, cfg: ViTConfig, images: jnp.ndarray, precision) ->
         P = cfg.patch_size
         x = images[:, : gh * P, : gw * P, :]
         x = x.reshape(B, gh, P, gw, P, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * 3)
-        w = kern.transpose(0, 1, 2, 3).reshape(P * P * 3, -1)
+        w = kern.reshape(P * P * 3, -1)
         patches = jnp.einsum("btp,pd->btd", x, w, precision=precision)
     else:
         patches = jax.lax.conv_general_dilated(
