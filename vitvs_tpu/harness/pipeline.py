@@ -166,6 +166,7 @@ def servo_step(
     match = find_correspondences(
         goal_desc, cur_desc, grid, k, key,
         precision=model.precision, use_kernel=model.use_match_kernel,
+        int8=model.quantized,  # int8 serving quantizes the match matmul too
     )
 
     # patch -> camera pixels (goal points = image1, current = image2)

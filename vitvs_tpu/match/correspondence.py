@@ -46,12 +46,16 @@ class MatchResult(NamedTuple):
 
 
 def cosine_similarity_matrix(
-    desc1: jnp.ndarray, desc2: jnp.ndarray, precision=None
+    desc1: jnp.ndarray, desc2: jnp.ndarray, precision=None, int8: bool = False
 ) -> jnp.ndarray:
     """(t1, d) x (t2, d) -> (t1, t2) cosine similarities (one MXU matmul).
 
     Norms accumulate in f32; the matmul runs in the descriptor dtype (bf16 on
-    TPU — 2x MXU rate) with f32 accumulation, returning f32."""
+    TPU — 2x MXU rate) with f32 accumulation, returning f32.  int8=True uses
+    symmetric per-row dynamic quantization and an int8 MXU matmul (2x again);
+    the per-row scales cancel in the cosine normalization, leaving only int8
+    rounding error (~0.4% of the unit similarity scale — far below matching
+    noise)."""
 
     def _normalize(d):
         sq = jnp.sum(jnp.square(d.astype(jnp.float32)), -1, keepdims=True)
@@ -59,6 +63,23 @@ def cosine_similarity_matrix(
 
     a = _normalize(desc1)
     b = _normalize(desc2)
+    if int8:
+        def _q(x):
+            amax = jnp.max(jnp.abs(x), -1, keepdims=True).astype(jnp.float32)
+            scale = jnp.maximum(amax, 1e-12) / 127.0
+            q = jnp.clip(jnp.round(x * (1.0 / scale).astype(x.dtype)),
+                         -127, 127).astype(jnp.int8)
+            return q, scale
+        qa, sa = _q(a)
+        qb, sb = _q(b)
+        acc = jax.lax.dot_general(qa, qb, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        # rows were unit-norm pre-quantization; rescale and renormalize the
+        # residual norm error of the quantized rows
+        sim = acc.astype(jnp.float32) * sa * sb.reshape(1, -1)
+        na = jnp.sum((qa.astype(jnp.float32) * sa) ** 2, -1, keepdims=True)
+        nb = jnp.sum((qb.astype(jnp.float32) * sb) ** 2, -1, keepdims=True)
+        return sim * jax.lax.rsqrt(na + 1e-24) * jax.lax.rsqrt(nb.reshape(1, -1) + 1e-24)
     return jnp.einsum("td,sd->ts", a, b, precision=precision,
                       preferred_element_type=jnp.float32)
 
@@ -80,6 +101,7 @@ def find_correspondences(
     sim_matrix: jnp.ndarray | None = None,
     precision=None,
     use_kernel: bool = False,
+    int8: bool = False,
 ) -> MatchResult:
     """Mutual-NN correspondences via cyclical consistency.
 
@@ -99,7 +121,8 @@ def find_correspondences(
 
         sim_1, nn_1, _, nn_2 = dual_argmax_cosine(desc1, desc2)
     else:
-        sim = cosine_similarity_matrix(desc1, desc2, precision) if sim_matrix is None else sim_matrix
+        sim = (cosine_similarity_matrix(desc1, desc2, precision, int8=int8)
+               if sim_matrix is None else sim_matrix)
         sim = sim.astype(jnp.float32)
         sim_1 = jnp.max(sim, axis=1)          # best match quality per img1 token
         nn_1 = jnp.argmax(sim, axis=1)        # img1 -> img2
