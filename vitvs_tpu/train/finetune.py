@@ -1,0 +1,208 @@
+"""Descriptor fine-tuning — in-sim feature adaptation.
+
+The reference has NO training ("the ViT is frozen, pretrained,
+inference-only", SURVEY overview).  This subsystem goes beyond it: because
+the simulator is differentiable-friendly and the scene geometry is known
+analytically, GROUND-TRUTH patch correspondences between any two camera
+views are available in closed form (project patch centers through the plane),
+which supervises an InfoNCE objective over the dense descriptors:
+
+    two views of the scene  ->  ViT descriptors  ->  contrastive loss
+    against the geometric correspondence  ->  adamw update.
+
+Uses: adapting descriptors to a deployment scene/texture domain, recovering
+servo-able features from weak checkpoints, or training small descriptor
+models from scratch for embedded settings (tests demonstrate a randomly
+initialized tiny ViT learning matchable features in tens of steps).
+
+The train step is a single jitted function of (params, opt_state, batch) and
+shards over a (dp, tp) mesh exactly like inference (parallel/mesh.py):
+batch over dp, parameters over tp — XLA inserts the gradient all-reduces.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vitvs_tpu.core import se3
+from vitvs_tpu.core.camera import CameraIntrinsics
+from vitvs_tpu.harness.pipeline import ServoModel, preprocess
+from vitvs_tpu.models.extractor import extract_descriptors
+from vitvs_tpu.sim import Scene, observe, perturb_texture
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Geometric supervision
+# ---------------------------------------------------------------------------
+
+
+def _patch_centers_px(model: ServoModel) -> jnp.ndarray:
+    """(t, 2) patch-centre pixel coordinates (u, v) in the CAMERA frame."""
+    gh, gw = model.grid()
+    s = model.cfg.dino_input_size
+    scale = s / gh
+    rows = (jnp.arange(gh) + 0.5) * scale
+    cols = (jnp.arange(gw) + 0.5) * scale
+    vv, uu = jnp.meshgrid(rows, cols, indexing="ij")
+    u = uu * model.cfg.u_max / s
+    v = vv * model.cfg.v_max / s
+    return jnp.stack([u, v], -1).reshape(-1, 2)
+
+
+def geometric_correspondences(
+    model: ServoModel, scene: Scene,
+    pos_a: jnp.ndarray, quat_a: jnp.ndarray,
+    pos_b: jnp.ndarray, quat_b: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Ground-truth patch map A->B via the plane geometry.
+
+    Returns (idx (t,) int32 — target patch in view B for each patch of view
+    A, valid (t,) bool — ray hits the poster and lands inside view B)."""
+    cam = model.camera
+    gh, gw = model.grid()
+    uv = _patch_centers_px(model)                       # (t, 2)
+    xy = cam.pixel_to_normalized(uv)                    # (t, 2)
+    d_c = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)  # optical rays
+
+    r_wa = se3.matrix_from_quat(quat_a) @ se3.R_BODY_FROM_OPTICAL
+    d_w = d_c @ r_wa.T
+    t_hit = (scene.plane_z - pos_a[2]) / jnp.where(
+        jnp.abs(d_w[:, 2]) < 1e-9, 1e-9, d_w[:, 2])
+    world = pos_a + t_hit[:, None] * d_w
+    hit = t_hit > 1e-6
+    on_poster = (hit
+                 & (jnp.abs(world[:, 0]) <= scene.half_size)
+                 & (jnp.abs(world[:, 1]) <= scene.half_size))
+
+    # world -> view B pixel
+    r_wb = se3.matrix_from_quat(quat_b) @ se3.R_BODY_FROM_OPTICAL
+    p_c = (world - pos_b) @ r_wb                        # optical frame of B
+    z = p_c[:, 2]
+    u_b = p_c[:, 0] / jnp.maximum(z, 1e-9) * cam.fx + cam.cx
+    v_b = p_c[:, 1] / jnp.maximum(z, 1e-9) * cam.fy + cam.cy
+    in_front = z > 1e-6
+    s = model.cfg.dino_input_size
+    gu = u_b * s / model.cfg.u_max / (s / gw)           # patch col in B
+    gv = v_b * s / model.cfg.v_max / (s / gh)           # patch row in B
+    col = jnp.floor(gu).astype(jnp.int32)
+    row = jnp.floor(gv).astype(jnp.int32)
+    inside = (col >= 0) & (col < gw) & (row >= 0) & (row < gh)
+    idx = jnp.clip(row, 0, gh - 1) * gw + jnp.clip(col, 0, gw - 1)
+    return idx, on_poster & in_front & inside
+
+
+def make_pair_batch(model: ServoModel, scene: Scene, key: jax.Array,
+                    batch: int, pos_noise: float = 0.08,
+                    rot_noise_deg: float = 10.0, perturb: bool = True):
+    """Render `batch` view pairs around the goal pose with GT correspondence.
+
+    Returns dict of (B, ...) arrays: img_a, img_b (preprocessed), idx, valid.
+    """
+    from vitvs_tpu.harness.samplers import DESIRED_ORIENTATION, DESIRED_POSITION
+
+    goal_p = jnp.asarray(DESIRED_POSITION, jnp.float32)
+    goal_q = jnp.asarray(DESIRED_ORIENTATION, jnp.float32)
+
+    def one(k):
+        ka, kb, kr, kt = jax.random.split(k, 4)
+        pa = goal_p + jax.random.uniform(ka, (3,), minval=-pos_noise, maxval=pos_noise)
+        pb = goal_p + jax.random.uniform(kb, (3,), minval=-pos_noise, maxval=pos_noise)
+        ang = jax.random.uniform(kr, (2,), minval=-jnp.radians(rot_noise_deg),
+                                 maxval=jnp.radians(rot_noise_deg))
+        qa = se3.rotate_about_body_x(goal_q, ang[0])
+        qb = se3.rotate_about_body_x(goal_q, ang[1])
+        sc = scene
+        if perturb:
+            sc = scene._replace(texture=perturb_texture(kt, scene.texture))
+        rgb_a, _ = observe(sc, model.camera, pa, qa)
+        rgb_b, _ = observe(sc, model.camera, pb, qb)
+        idx, valid = geometric_correspondences(model, scene, pa, qa, pb, qb)
+        return {
+            "img_a": preprocess(model, rgb_a),
+            "img_b": preprocess(model, rgb_b),
+            "idx": idx,
+            "valid": valid,
+        }
+
+    return jax.vmap(one)(jax.random.split(key, batch))
+
+
+# ---------------------------------------------------------------------------
+# Loss + train step
+# ---------------------------------------------------------------------------
+
+
+def info_nce_loss(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                  idx: jnp.ndarray, valid: jnp.ndarray,
+                  temperature: float = 0.1) -> jnp.ndarray:
+    """Contrastive matching loss over one view pair.
+
+    desc_a/desc_b: (t, d); idx: (t,) GT target in B; valid: (t,) mask."""
+    a = desc_a / (jnp.linalg.norm(desc_a, axis=-1, keepdims=True) + 1e-8)
+    b = desc_b / (jnp.linalg.norm(desc_b, axis=-1, keepdims=True) + 1e-8)
+    logits = (a @ b.T) / temperature                    # (t, t)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, idx[:, None], axis=1)[:, 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def _batch_loss(params, model: ServoModel, batch) -> jnp.ndarray:
+    def one(img_a, img_b, idx, valid):
+        imgs = jnp.stack([img_a, img_b])
+        desc = extract_descriptors(
+            params, model.vit, imgs, layer=model.cfg.layer, facet=model.cfg.facet,
+            bin=False,  # train on raw facet descriptors; binning is linear
+            compute_dtype=model.compute_dtype, precision=model.precision,
+        )[:, 0]
+        return info_nce_loss(desc[0].astype(jnp.float32),
+                             desc[1].astype(jnp.float32), idx, valid)
+
+    losses = jax.vmap(one)(batch["img_a"], batch["img_b"], batch["idx"], batch["valid"])
+    return jnp.mean(losses)
+
+
+def make_train_step(model: ServoModel, optimizer):
+    """Jitted (state, batch) -> (state, loss) adamw/whatever-optax step."""
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: _batch_loss(p, model, batch))(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        import optax
+
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def train_descriptor_model(params, model: ServoModel, scene: Scene,
+                           steps: int = 100, batch: int = 4,
+                           learning_rate: float = 3e-4, seed: int = 0,
+                           verbose: bool = False):
+    """Convenience loop: fine-tune descriptors on sim view pairs."""
+    import optax
+
+    optimizer = optax.adamw(learning_rate)
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model, optimizer)
+    key = jax.random.PRNGKey(seed)
+    losses = []
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        batch_data = make_pair_batch(model, scene, sub, batch)
+        state, loss = step_fn(state, batch_data)
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"[train] step {i}: loss {losses[-1]:.4f}", flush=True)
+    return state, losses
