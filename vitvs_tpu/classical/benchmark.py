@@ -55,19 +55,23 @@ def run_classical_benchmark(
         keys = jax.random.split(jax.random.PRNGKey(perturb_seed), n)
         textures = jax.vmap(lambda k: perturb_texture(k, scene.texture))(keys)
 
-    def make_step(gf):
+    # NOTE goal features and the scene are threaded as jit ARGUMENTS (closure
+    # captures are baked into the compile payload as constants)
+    def run_one(gf, sc, sp, sq, k):
         def step_fn(rgb, depth, ema, prev_v, key):
             return classical_servo_step(model, gf, rgb, depth, ema, prev_v,
                                         key, max_corners)
-        return step_fn
-
-    def run_one(tx, sp, sq, k):
-        sc = scene if tx is None else scene._replace(texture=tx)
         return rollout_episode(None, model, sc, None, sp, sq, k,
-                               num_steps=num_steps, step_fn=make_step(goal_feats))
+                               num_steps=num_steps, step_fn=step_fn)
 
-    run_batch = jax.jit(jax.vmap(lambda sp, sq, k: run_one(None, sp, sq, k)))
-    run_batch_tx = jax.jit(jax.vmap(lambda tx, sp, sq, k: run_one(tx, sp, sq, k)))
+    @jax.jit
+    def run_batch(gf, sc, sps, sqs, ks):
+        return jax.vmap(lambda sp, sq, k: run_one(gf, sc, sp, sq, k))(sps, sqs, ks)
+
+    @jax.jit
+    def run_batch_tx(gf, sc, txs, sps, sqs, ks):
+        return jax.vmap(lambda tx, sp, sq, k: run_one(
+            gf, sc._replace(texture=tx), sp, sq, k))(txs, sps, sqs, ks)
 
     episodes = []
     for lo in range(0, n, chunk):
@@ -82,10 +86,11 @@ def run_classical_benchmark(
 
         keys = jax.random.split(jax.random.PRNGKey(lo), chunk)
         if textures is None:
-            batch = run_batch(padded(positions), padded(quats), keys)
+            batch = run_batch(goal_feats, scene, padded(positions),
+                              padded(quats), keys)
         else:
-            batch = run_batch_tx(padded(textures), padded(positions),
-                                 padded(quats), keys)
+            batch = run_batch_tx(goal_feats, scene, padded(textures),
+                                 padded(positions), padded(quats), keys)
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
