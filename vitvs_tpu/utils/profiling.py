@@ -35,7 +35,6 @@ class StageTimer:
         self.fence = fence
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
-        self._live: Any = None
 
     @contextlib.contextmanager
     def stage(self, name: str, result: Any = None):
