@@ -142,3 +142,31 @@ def test_vmap_batching():
     res = fn(jnp.asarray(d1), jnp.asarray(d2), keys)
     assert res.points1.shape == (3, 8, 2)
     assert res.valid.shape == (3, 8)
+
+
+def test_factorized_binned_similarity_matches_materialized():
+    """match/binned.py shift identity == log_bin + cosine, exactly (up to
+    float association)."""
+    from vitvs_tpu.match.binned import binned_cosine_similarity
+    from vitvs_tpu.models.extractor import log_bin
+
+    gh, gw = 6, 5
+    d1 = jnp.asarray(RNG.standard_normal((gh * gw, 24)).astype(np.float32))
+    d2 = jnp.asarray(RNG.standard_normal((gh * gw, 24)).astype(np.float32))
+    fast = np.asarray(binned_cosine_similarity(d1, d2, (gh, gw), precision="highest"))
+    b1 = log_bin(d1[None], (gh, gw))[0]
+    b2 = log_bin(d2[None], (gh, gw))[0]
+    slow = np.asarray(C.cosine_similarity_matrix(b1, b2, precision="highest"))
+    np.testing.assert_allclose(fast, slow, atol=2e-5)
+
+
+def test_factorized_binned_int8_close():
+    from vitvs_tpu.match.binned import binned_cosine_similarity
+
+    gh, gw = 5, 5
+    d1 = jnp.asarray(RNG.standard_normal((25, 32)).astype(np.float32))
+    d2 = jnp.asarray(RNG.standard_normal((25, 32)).astype(np.float32))
+    fp = np.asarray(binned_cosine_similarity(d1, d2, (gh, gw)))
+    q = np.asarray(binned_cosine_similarity(d1, d2, (gh, gw), int8=True))
+    assert np.abs(fp - q).max() < 0.01
+    assert (fp.argmax(1) == q.argmax(1)).mean() > 0.95

@@ -63,6 +63,14 @@ class ServoModel:
     use_match_kernel: bool = False
     # int8 W8A8 serving path (params must come from quantize_vit_params)
     quantized: bool = False
+    # factorized binned matching (match/binned.py): the binned similarity is
+    # computed from UNBINNED descriptors via the shift identity — 9x fewer
+    # matmul FLOPs, no 9d descriptor tensors (exact up to float assoc).
+    # Default OFF: on v5e the int8 MXU eats the brute-force 9d matmul faster
+    # than the shift-sum's slice traffic (405 vs 376 Hz measured); the
+    # factorized path wins where matmul FLOPs are the constraint (larger
+    # grids / f32 matching).
+    fast_binned_match: bool = False
 
     @staticmethod
     def create(cfg: VSConfig, compute_dtype=None, precision=None,
@@ -83,6 +91,18 @@ class ServoModel:
             compute_dtype=compute_dtype,
             precision=precision,
         )
+
+    @property
+    def binned(self) -> bool:
+        return self.cfg.use_feature_binning
+
+    @property
+    def materialize_bins(self) -> bool:
+        # True when descriptors themselves must be binned (slow path)
+        return self.binned and not self.fast_binned_match
+
+    def desc_dim(self) -> int:
+        return self.vit.embed_dim * (9 if self.materialize_bins else 1)
 
     @property
     def camera(self) -> CameraIntrinsics:
@@ -126,7 +146,7 @@ def goal_descriptors(params: ViTParams, model: ServoModel, goal_rgb: jnp.ndarray
     x = preprocess(model, goal_rgb)[None]
     desc = extract_descriptors(
         params, model.vit, x, layer=model.cfg.layer, facet=model.cfg.facet,
-        bin=model.cfg.use_feature_binning,
+        bin=model.materialize_bins,
         compute_dtype=model.compute_dtype, precision=model.precision,
         quantized=model.quantized,
     )
@@ -157,16 +177,24 @@ def servo_step(
     x = preprocess(model, frame_rgb)[None]
     cur_desc = extract_descriptors(
         params, model.vit, x, layer=cfg.layer, facet=cfg.facet,
-        bin=cfg.use_feature_binning,
+        bin=model.materialize_bins,
         compute_dtype=model.compute_dtype, precision=model.precision,
         quantized=model.quantized,
     )[0, 0]
 
     grid = model.grid()
+    sim_matrix = None
+    if model.binned and model.fast_binned_match:
+        from vitvs_tpu.match.binned import binned_cosine_similarity
+
+        sim_matrix = binned_cosine_similarity(goal_desc, cur_desc, grid,
+                                              precision=model.precision,
+                                              int8=model.quantized)
     match = find_correspondences(
         goal_desc, cur_desc, grid, k, key,
         precision=model.precision, use_kernel=model.use_match_kernel,
         int8=model.quantized,  # int8 serving quantizes the match matmul too
+        sim_matrix=sim_matrix,
     )
 
     # patch -> camera pixels (goal points = image1, current = image2)

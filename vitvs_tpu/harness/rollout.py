@@ -253,16 +253,25 @@ def find_best_start_pose(
     frames = jax.vmap(render_one)(quats)  # (A, S, S, 3)
     descs = extract_descriptors(
         params, model.vit, frames, layer=cfg.layer, facet=cfg.facet,
-        bin=cfg.use_feature_binning,
+        bin=model.materialize_bins,
         compute_dtype=model.compute_dtype, precision=model.precision,
+        quantized=model.quantized,
     )[:, 0]  # (A, t, d)
 
     grid = model.grid()
     keys = jax.random.split(key, len(angles_deg))
 
     def score_one(desc, k):
+        sim_matrix = None
+        if model.binned and model.fast_binned_match:
+            from vitvs_tpu.match.binned import binned_cosine_similarity
+
+            sim_matrix = binned_cosine_similarity(goal_desc, desc, grid,
+                                                  precision=model.precision,
+                                                  int8=model.quantized)
         m = find_correspondences(goal_desc, desc, grid, num_pairs, k,
-                                 precision=model.precision)
+                                 precision=model.precision,
+                                 sim_matrix=sim_matrix)
         s = jnp.sum(jnp.where(m.valid, m.sim, 0.0)) / jnp.maximum(m.num_valid, 1)
         return jnp.where(m.num_valid > 0, s, -jnp.inf)
 
