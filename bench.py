@@ -27,7 +27,7 @@ import numpy as np
 N_FRAMES = 4          # distinct staged camera frames, cycled
 CHAIN_SHORT = 5
 CHAIN_LONG = 45
-REPS = 3
+REPS = 5  # best-of: the tunnel adds run-to-run variance
 
 
 def main():
