@@ -157,3 +157,22 @@ def test_io_callback_step():
                          jnp.zeros(6), jax.random.PRNGKey(0))
     assert bool(ok)
     assert len(sink.twists) == 1
+
+
+def test_servo_loop_viz_hook():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_rollout import tiny_setup, GOAL_POS, GOAL_QUAT
+    from vitvs_tpu.io_bridge.host_loop import ServoLoop
+    from vitvs_tpu.sim import observe
+
+    params, model, scene = tiny_setup(pixel_identity=True)
+    goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+    src = _SimSource(scene, model.camera,
+                     GOAL_POS + jnp.array([0.05, 0.0, 0.1]), GOAL_QUAT)
+    frames = []
+    loop = ServoLoop(params, model, goal_rgb, src, _Sink(),
+                     viz_every=1, viz_sink=frames.append)
+    loop.run(max_iterations=2)
+    assert len(frames) == 2
+    assert frames[0].shape == (128, 128, 3)

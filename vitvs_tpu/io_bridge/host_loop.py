@@ -79,11 +79,19 @@ class ServoLoop:
     """Practical host driver mirroring `Controller.run`'s I/O behavior."""
 
     def __init__(self, params, model: ServoModel, goal_rgb,
-                 source: FrameSource, sink: TwistSink, seed: int = 0):
+                 source: FrameSource, sink: TwistSink, seed: int = 0,
+                 viz_every: int = 0, viz_sink=None):
+        """viz_every=N renders the correspondence overlay every N iterations
+        and passes it to viz_sink(image_uint8) — the offline equivalent of
+        the reference's per-frame /camera/image_processed topic
+        (vitvs_v2.py:692-700)."""
         self.params = params
         self.model = model
         self.source = source
         self.sink = sink
+        self.viz_every = viz_every
+        self.viz_sink = viz_sink
+        self.goal_rgb = np.asarray(goal_rgb)
         self.goal_desc = jax.jit(
             lambda p, f: goal_descriptors(p, model, f))(params, jnp.asarray(goal_rgb))
         self._step = jax.jit(
@@ -116,6 +124,15 @@ class ServoLoop:
             raise RuntimeError("Persistent feature detection failure")
 
         self.sink.send_twist(twist)
+        if self.viz_every and self.iteration % self.viz_every == 0 and ok:
+            from vitvs_tpu.harness import viz as _viz
+
+            img = _viz.draw_points(
+                np.asarray(rgb),
+                np.asarray(res.s_uv)[np.asarray(res.valid)],
+                np.asarray(res.s_uv_star)[np.asarray(res.valid)])
+            if self.viz_sink is not None:
+                self.viz_sink(img)
         self.ema_value = res.ema.value
         self.ema_init = res.ema.initialized
         self.prev_v = res.v_c
