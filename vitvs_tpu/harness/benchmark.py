@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Sequence
 
 import numpy as np
 import jax

@@ -13,7 +13,6 @@ from typing import Sequence
 
 import numpy as np
 
-from vitvs_tpu.core import se3  # noqa: F401  (quaternion convention reference)
 
 
 def _trim(history: np.ndarray, n: int) -> np.ndarray:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from vitvs_tpu.control import EmaState, ConvergenceState, convergence_init, convergence_step
 from vitvs_tpu.core import se3
-from vitvs_tpu.harness.pipeline import ServoModel, StepResult, goal_descriptors, preprocess, servo_step
+from vitvs_tpu.harness.pipeline import ServoModel, StepResult, preprocess, servo_step
 from vitvs_tpu.harness.samplers import DESIRED_ORIENTATION, DESIRED_POSITION
 from vitvs_tpu.match import find_correspondences
 from vitvs_tpu.models.extractor import extract_descriptors

@@ -22,7 +22,7 @@ the descriptor path, mirroring the reference which never touches them).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Mapping
+from typing import Any, Mapping
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ tests/test_quant.py against the bf16 pipeline.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict
 
 import jax

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from vitvs_tpu.core import se3
-from vitvs_tpu.core.camera import CameraIntrinsics
+
 from vitvs_tpu.harness.pipeline import ServoModel, preprocess
 from vitvs_tpu.models.extractor import extract_descriptors
 from vitvs_tpu.sim import Scene, observe, perturb_texture
