@@ -31,21 +31,37 @@ def test_weight_quantization_roundtrip():
     assert rel < 0.005  # int8 per-channel: ~0.2% RMS
 
 
-def test_quantized_descriptors_close_to_fp():
+@pytest.mark.parametrize("facet", ["token", "key", "value"])
+@pytest.mark.parametrize("ffn", ["mlp", "swiglu"])
+def test_quantized_descriptors_close_to_fp(facet, ffn):
     cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=192, depth=4, num_heads=3,
-                            pos_grid=16, stride=14, model_name="tiny")
+                            pos_grid=16, stride=14, model_name="tiny", ffn=ffn)
     params = _real_scale_params(cfg)
     qp = quantize_vit_params(params)
     img = jnp.asarray(RNG.random((1, 154, 154, 3)), jnp.float32)
-    ref = np.asarray(extract_descriptors(params, cfg, img, layer=3, facet="token",
+    ref = np.asarray(extract_descriptors(params, cfg, img, layer=3, facet=facet,
                                          bin=False, compute_dtype=jnp.float32))[0, 0]
-    out = np.asarray(extract_descriptors(qp, cfg, img, layer=3, facet="token",
+    out = np.asarray(extract_descriptors(qp, cfg, img, layer=3, facet=facet,
                                          bin=False, compute_dtype=jnp.float32,
                                          quantized=True))[0, 0]
     # per-token cosine similarity is what matching consumes
     cos = (ref * out).sum(-1) / (np.linalg.norm(ref, axis=-1)
                                  * np.linalg.norm(out, axis=-1) + 1e-12)
     assert cos.min() > 0.995, cos.min()
+
+
+def test_quantized_attn_facet_rows_sum_to_one():
+    from vitvs_tpu.models.quant import vit_features_quant
+
+    cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=96, depth=2, num_heads=3,
+                            pos_grid=16, stride=14, model_name="tiny")
+    qp = quantize_vit_params(_real_scale_params(cfg))
+    img = jnp.asarray(RNG.random((1, 56, 56, 3)), jnp.float32)
+    attn = vit_features_quant(qp, cfg, img, layer=1, facet="attn",
+                              compute_dtype=jnp.float32)
+    t = 1 + 4 * 4
+    assert attn.shape == (1, 3, t, t)
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, atol=1e-5)
 
 
 def test_quantized_matching_agrees_with_fp():
@@ -86,10 +102,12 @@ def test_quantized_matching_agrees_with_fp():
     assert agreement > 0.9, agreement
 
 
-def test_quantized_only_token_facet():
+def test_quantized_rejects_unknown_facet():
+    from vitvs_tpu.models.quant import vit_features_quant
+
     cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=96, depth=1, num_heads=3,
                             pos_grid=16, stride=14)
     qp = quantize_vit_params(vit_mod.init_vit(cfg, jax.random.PRNGKey(0)))
     img = jnp.zeros((1, 56, 56, 3))
-    with pytest.raises(AssertionError):
-        extract_descriptors(qp, cfg, img, layer=0, facet="key", quantized=True)
+    with pytest.raises(ValueError):
+        vit_features_quant(qp, cfg, img, layer=0, facet="bogus")

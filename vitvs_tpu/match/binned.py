@@ -47,9 +47,11 @@ def binned_cosine_similarity(
     int8: bool = False,
 ) -> jnp.ndarray:
     """Cosine similarity of hierarchy-1 log-binned descriptors, computed
-    from the UNBINNED (t, d) descriptors.  Returns (t, t) float32."""
-    maps = jnp.asarray(_shift_maps(grid))  # (9, t)
+    from the UNBINNED (t, d) descriptors.  Returns (t, t) float32.
 
+    (`_shift_maps` documents the index mapping this implements and is
+    exercised by tests; the compute below uses edge padding + slices
+    instead of gathers.)"""
     a32 = desc_a.astype(jnp.float32)
     b32 = desc_b.astype(jnp.float32)
     n0a = jnp.sum(a32 * a32, -1)            # (t,)
@@ -79,7 +81,6 @@ def binned_cosine_similarity(
     # the lane dimension are slow on TPU; slices are not).  Edge padding
     # reproduces the clamped indexing of log_bin exactly.
     gh, gw = grid
-    del maps  # kept for documentation/tests of the mapping itself
     s4 = s0.reshape(gh, gw, gh, gw)
     s4p = jnp.pad(s4, ((1, 1), (1, 1), (1, 1), (1, 1)), mode="edge")
     na4 = jnp.pad(n0a.reshape(gh, gw), ((1, 1), (1, 1)), mode="edge")

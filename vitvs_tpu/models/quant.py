@@ -108,10 +108,23 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
                                 cfg.ln_eps, cfg.ln_f32)
     hmid = _q_matmul(x_norm, bp["fc1_kernel"], bp["fc1_kernel_scale"][0],
                      bp["fc1_bias"], dt)
-    hmid = jax.nn.gelu(hmid, approximate=cfg.gelu_approx)
+    if cfg.ffn == "swiglu":
+        # DINOv2 SwiGLUFFNFused (ViT-g): fused w12 output -> silu(x1) * x2,
+        # mirroring vit._mlp
+        x1, x2 = jnp.split(hmid, 2, axis=-1)
+        hmid = jax.nn.silu(x1) * x2
+    else:
+        hmid = jax.nn.gelu(hmid, approximate=cfg.gelu_approx)
     mlp = _q_matmul(hmid, bp["fc2_kernel"], bp["fc2_kernel_scale"][0],
                     bp["fc2_bias"], dt)
     return x + bp["ls2"].astype(dt) * mlp
+
+
+def _cast_block(bp: Dict[str, jnp.ndarray], compute_dtype) -> Dict[str, jnp.ndarray]:
+    """int8 kernels and f32 scales pass through; everything else casts."""
+    return {k: (v if k in _QUANT_KERNELS or k.endswith("_scale")
+                else v.astype(compute_dtype))
+            for k, v in bp.items()}
 
 
 def vit_features_quant(
@@ -123,25 +136,54 @@ def vit_features_quant(
     compute_dtype=jnp.bfloat16,
     precision=None,
 ) -> jnp.ndarray:
-    """int8 facet forward, same contract as vit.vit_features (token facet)."""
-    assert facet == "token", "quantized path currently serves the token facet"
+    """int8 facet forward, same contract as vit.vit_features.
+
+    facet 'token'               -> (B, 1+t, D)
+    facet 'query'|'key'|'value' -> (B, h, 1+t, hd)
+    facet 'attn'                -> (B, h, 1+t, 1+t)
+    """
+    import math
+
+    if facet not in ("token", "query", "key", "value", "attn"):
+        raise ValueError(f"unsupported facet {facet!r}")
     x = vit_mod._embed(qparams, cfg, images.astype(compute_dtype), precision)
     x = x.astype(compute_dtype)
     blocks = qparams["blocks"]
 
-    def take(i):
-        return {k: (v[i] if k in _QUANT_KERNELS or k.endswith("_scale")
-                    else v[i].astype(compute_dtype))
-                for k, v in blocks.items()}
+    def run(h, lo, hi):
+        if hi <= lo:
+            return h
+        sl = {k: v[lo:hi] for k, v in blocks.items()}
 
-    # scan over the stacked quantized blocks 0..layer
-    sl = {k: v[: layer + 1] for k, v in blocks.items()}
+        def body(h, bp):
+            return _block_q(h, _cast_block(bp, compute_dtype), cfg), None
 
-    def body(h, bp):
-        bp = {k: (v if k in _QUANT_KERNELS or k.endswith("_scale")
-                  else v.astype(compute_dtype))
-              for k, v in bp.items()}
-        return _block_q(h, bp, cfg), None
+        h, _ = jax.lax.scan(body, h, sl, unroll=min(cfg.scan_unroll, hi - lo))
+        return h
 
-    x, _ = jax.lax.scan(body, x, sl, unroll=min(cfg.scan_unroll, layer + 1))
-    return x
+    if facet == "token":
+        return run(x, 0, layer + 1)
+
+    # qkv facets: run quantized blocks 0..layer-1, then recompute the qkv
+    # projection of block `layer` with the int8 matmul — same semantics as
+    # the reference's hook capture (dinov2_extractor.py:212-218) and
+    # vit.vit_features' recompute path.
+    x = run(x, 0, layer)
+    bp = _cast_block({k: v[layer] for k, v in blocks.items()}, compute_dtype)
+    x_norm = vit_mod._layernorm(x, bp["norm1_scale"], bp["norm1_bias"],
+                                cfg.ln_eps, cfg.ln_f32)
+    B, T, D = x_norm.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    qkv = _q_matmul(x_norm, bp["qkv_kernel"], bp["qkv_kernel_scale"][0],
+                    bp["qkv_bias"], compute_dtype)
+    qkv = qkv.reshape(B, T, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3, B, h, T, hd)
+    if facet == "query":
+        return qkv[0]
+    if facet == "key":
+        return qkv[1]
+    if facet == "value":
+        return qkv[2]
+    q, k = qkv[0], qkv[1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        precision=precision).astype(jnp.float32)
+    return jax.nn.softmax(logits / math.sqrt(hd), axis=-1)
