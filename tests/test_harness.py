@@ -182,3 +182,36 @@ def test_segmented_rollout_matches_single_segment(tmp_path):
                                    np.asarray(sum2[k], float), atol=1e-6)
     for a, b in zip(sum1["all_position_histories"], sum2["all_position_histories"]):
         np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float), atol=1e-6)
+
+
+def test_segment_steps_not_dividing_T_clamps_history(tmp_path):
+    """With num_steps=12, segment_steps=5 exactly 12 steps run and histories
+    have length 12 (the last segment is clamped to the remainder), and the
+    results equal the single-segment run."""
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=12)
+    cfg = model.cfg.replace(num_samples=2, num_circles=1)
+    common = dict(params=params, model=model, scene=scene, out_dir=str(tmp_path),
+                  rotation_search=False, chunk=2, num_steps=12, verbose=False,
+                  save=False)
+    _, _, sum1 = run_benchmark(cfg, config_name="a", segment_steps=None, **common)
+    _, _, sum2 = run_benchmark(cfg, config_name="b", segment_steps=5, **common)
+    for h in sum2["all_position_histories"]:
+        assert np.asarray(h).shape[0] <= 12  # histories trimmed to iterations
+    for a, b in zip(sum1["all_position_histories"],
+                    sum2["all_position_histories"]):
+        np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float),
+                                   atol=1e-6)
+
+
+def test_results_invariant_to_chunk_size(tmp_path):
+    """Episode PRNG keys derive from the absolute episode index, so results
+    must not depend on --chunk (ADVICE r1)."""
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=8)
+    cfg = model.cfg.replace(num_samples=4, num_circles=2)
+    common = dict(params=params, model=model, scene=scene, out_dir=str(tmp_path),
+                  rotation_search=False, num_steps=8, verbose=False, save=False)
+    _, _, sum1 = run_benchmark(cfg, config_name="a", chunk=2, **common)
+    _, _, sum2 = run_benchmark(cfg, config_name="b", chunk=3, **common)
+    np.testing.assert_allclose(np.asarray(sum1["final_positions"], float),
+                               np.asarray(sum2["final_positions"], float),
+                               atol=1e-6)

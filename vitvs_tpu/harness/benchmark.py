@@ -98,21 +98,48 @@ def run_benchmark(
         keys = jax.random.split(jax.random.PRNGKey(perturb_seed), n)
         textures = jax.vmap(lambda k: perturb_texture(k, scene.texture))(keys)
 
-    # rotation-compensation search (batched per episode).  NOTE params /
-    # goal_desc / scene arrays are threaded as jit ARGUMENTS — closure
-    # captures would be baked into the compile payload as constants.
+    # rotation-compensation search, vmapped across episode CHUNKS (one jit
+    # call per chunk instead of one per episode — at ~30 ms tunnel RTT a
+    # per-episode loop costs ~15 s of pure latency per 500-episode sweep).
+    # NOTE params / goal_desc / scene arrays are threaded as jit ARGUMENTS —
+    # closure captures would be baked into the compile payload as constants.
     best_quats = np.asarray(quats, np.float32)
     if rotation_search:
-        search = jax.jit(lambda p, gd, sc, pos, q, k: find_best_start_pose(
-            p, model, sc, gd, pos, q, k)[1])
+        @jax.jit
+        def search_chunk_notx(params, goal_desc, scene, poss, qs, keys):
+            return jax.vmap(lambda pos, q, k: find_best_start_pose(
+                params, model, scene, goal_desc, pos, q, k)[1])(poss, qs, keys)
+
+        @jax.jit
+        def search_chunk_tx(params, goal_desc, scene, txs, poss, qs, keys):
+            return jax.vmap(lambda tx, pos, q, k: find_best_start_pose(
+                params, model, scene._replace(texture=tx), goal_desc, pos, q, k
+            )[1])(txs, poss, qs, keys)
+
         bq = []
-        for i in range(n):
-            sc = scene if textures is None else scene._replace(texture=textures[i])
-            bq.append(np.asarray(search(params, goal_desc, sc,
-                                        jnp.asarray(positions[i], jnp.float32),
-                                        jnp.asarray(best_quats[i]),
-                                        jax.random.PRNGKey(1000 + i))))
-        best_quats = np.stack(bq)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            pad = chunk - (hi - lo)
+
+            def pad_to_chunk(a):
+                a = np.asarray(a[lo:hi], np.float32)
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                return jnp.asarray(a)
+
+            keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1000 + lo,
+                                                           1000 + lo + chunk))
+            if textures is None:
+                out = search_chunk_notx(params, goal_desc, scene,
+                                        pad_to_chunk(positions),
+                                        pad_to_chunk(best_quats), keys)
+            else:
+                out = search_chunk_tx(params, goal_desc, scene,
+                                      pad_to_chunk(textures),
+                                      pad_to_chunk(positions),
+                                      pad_to_chunk(best_quats), keys)
+            bq.append(np.asarray(out)[: hi - lo])
+        best_quats = np.concatenate(bq)
 
     # vmapped rollouts in chunks, executed as host-chained SEGMENTS so no
     # single device program runs unboundedly long (long uninterrupted
@@ -131,16 +158,27 @@ def run_benchmark(
         return jax.vmap(lambda sp, sq, k: episode_init(sp, sq, k, desired_p, desired_q)
                         )(starts, sqs, keys)
 
-    @jax.jit
-    def seg_chunk_notx(params, goal_desc, scene, carry):
-        return jax.vmap(lambda c: rollout_segment(
-            params, model, scene, goal_desc, c, seg, desired_p, desired_q))(carry)
+    # segment functions cached per length: the LAST segment is clamped to the
+    # remainder so exactly T steps execute and the concatenated histories are
+    # (T, ...) for any segment_steps (at most one extra compile when seg ∤ T)
+    _seg_cache: dict = {}
 
-    @jax.jit
-    def seg_chunk_tx(params, goal_desc, scene, sc_textures, carry):
-        return jax.vmap(lambda tx, c: rollout_segment(
-            params, model, scene._replace(texture=tx), goal_desc, c, seg,
-            desired_p, desired_q))(sc_textures, carry)
+    def seg_fns(nsteps: int):
+        if nsteps not in _seg_cache:
+            @jax.jit
+            def notx(params, goal_desc, scene, carry):
+                return jax.vmap(lambda c: rollout_segment(
+                    params, model, scene, goal_desc, c, nsteps,
+                    desired_p, desired_q))(carry)
+
+            @jax.jit
+            def tx(params, goal_desc, scene, sc_textures, carry):
+                return jax.vmap(lambda t, c: rollout_segment(
+                    params, model, scene._replace(texture=t), goal_desc, c,
+                    nsteps, desired_p, desired_q))(sc_textures, carry)
+
+            _seg_cache[nsteps] = (notx, tx)
+        return _seg_cache[nsteps]
 
     @jax.jit
     def finalize_chunk(carry, ys):
@@ -152,12 +190,14 @@ def run_benchmark(
         ys_parts = []
         done = 0
         while done < T:
+            nsteps = min(seg, T - done)
+            fn_notx, fn_tx = seg_fns(nsteps)
             if tx is None:
-                carry, ys = seg_chunk_notx(params, goal_desc, scene, carry)
+                carry, ys = fn_notx(params, goal_desc, scene, carry)
             else:
-                carry, ys = seg_chunk_tx(params, goal_desc, scene, tx, carry)
+                carry, ys = fn_tx(params, goal_desc, scene, tx, carry)
             ys_parts.append(ys)
-            done += seg
+            done += nsteps
         full_ys = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=1),
                                *ys_parts)
         return finalize_chunk(carry, full_ys)
@@ -182,7 +222,9 @@ def run_benchmark(
                 a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
             return jnp.asarray(a)
 
-        keys = jax.random.split(jax.random.PRNGKey(lo), chunk)
+        # keys derive from the ABSOLUTE episode index so results are invariant
+        # to --chunk and to resuming a checkpoint with a different chunk size
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk))
         tx = None if textures is None else padded(textures)
         batch = run_chunk(tx, padded(positions), padded(best_quats), keys)
         batch = jax.tree.map(np.asarray, batch)

@@ -271,6 +271,8 @@ def find_best_start_pose(
                                                   int8=model.quantized)
         m = find_correspondences(goal_desc, desc, grid, num_pairs, k,
                                  precision=model.precision,
+                                 use_kernel=model.use_match_kernel,
+                                 int8=model.quantized,
                                  sim_matrix=sim_matrix)
         s = jnp.sum(jnp.where(m.valid, m.sim, 0.0)) / jnp.maximum(m.num_valid, 1)
         return jnp.where(m.num_valid > 0, s, -jnp.inf)
