@@ -58,7 +58,10 @@ void fb_publish(void* h, const uint8_t* rgb, const float* depth_m,
                 float min_range_m, float max_range_m) {
   auto* fb = static_cast<FrameBuffer*>(h);
   const size_t n = static_cast<size_t>(fb->width) * fb->height;
-  fb->seq.fetch_add(1, std::memory_order_acquire);  // -> odd: writing
+  // -> odd: writing.  acq_rel RMW: the acquire half keeps the data writes
+  // below from being reordered above the increment (a bare release would
+  // only order PRECEDING writes and is insufficient here).
+  fb->seq.fetch_add(1, std::memory_order_acq_rel);
   std::memcpy(fb->rgb.data(), rgb, n * 3);
   for (size_t i = 0; i < n; ++i) {
     const float d = depth_m[i];
@@ -87,7 +90,13 @@ uint64_t fb_latest(void* h, uint8_t* rgb_out, float* depth_m_out) {
       depth_m_out[i] = fb->depth_mm[i] * 0.001f;
     }
     stamp = fb->stamp.load(std::memory_order_relaxed);
-    s1 = fb->seq.load(std::memory_order_acquire);
+    // Canonical seqlock reader validation (Boehm, "Can seqlocks get along
+    // with programming language memory models?"): the acquire FENCE keeps
+    // the data loads above from sinking below the validation load — an
+    // acquire load alone does not order PRECEDING loads, so on weakly-
+    // ordered CPUs a torn frame could otherwise pass the s0==s1 check.
+    std::atomic_thread_fence(std::memory_order_acquire);
+    s1 = fb->seq.load(std::memory_order_relaxed);
   } while (s0 != s1);
   return stamp;
 }
