@@ -1,0 +1,145 @@
+"""Op-level TPU profile of the serving forward: capture a jax.profiler trace
+of the chained servo/descriptor graph and print the top XLA ops by self time.
+
+Usage: python scripts/profile_ops.py [step|desc] [--quant] [--attn xla]
+Requires tensorboard-plugin-profile (present in this image) to parse xplane.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_xplane(logdir):
+    """xplane.pb -> list of (op_name, self_us, occurrences) via the
+    tensorboard profile plugin's converter."""
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    xspaces = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xspaces, f"no xplane under {logdir}"
+    data, _ = rtd.xspace_to_tool_data(xspaces, "trace_viewer", {})
+    if isinstance(data, bytes):
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            pass
+    trace = json.loads(data)
+    events = trace.get("traceEvents", [])
+    # keep device-lane complete events
+    tot = {}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "?")
+        tot.setdefault(name, [0.0, 0])
+        tot[name][0] += e["dur"]
+        tot[name][1] += 1
+    return sorted(((k, v[0], v[1]) for k, v in tot.items()),
+                  key=lambda x: -x[1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("what", choices=["step", "desc"], nargs="?", default="desc")
+    ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--attn", default="xla")
+    ap.add_argument("--model", default="dinov2_vitb14")
+    ap.add_argument("--size", type=int, default=518)
+    ap.add_argument("--chain", type=int, default=20)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--logdir", default=None)
+    args = ap.parse_args()
+
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from vitvs_tpu.control import EmaState
+    from vitvs_tpu.harness.pipeline import (ServoModel, goal_descriptors,
+                                            preprocess, servo_step)
+    from vitvs_tpu.io_bridge.config import VSConfig
+    from vitvs_tpu.models import vit as vit_mod
+    from vitvs_tpu.models.extractor import extract_descriptors
+
+    cfg = VSConfig(dino_input_size=args.size, model_name=args.model, layer=11,
+                   pinv_mode="dls")
+    model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
+    model = dc.replace(model, vit=dc.replace(model.vit, attn_impl=args.attn))
+    params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(0))
+    if args.quant:
+        from vitvs_tpu.models.quant import quantize_vit_params
+
+        params = quantize_vit_params(params)
+        model = dc.replace(model, quantized=True)
+
+    rng = np.random.default_rng(0)
+    N = 4
+    frames = jax.device_put(jnp.asarray(rng.random((N, 480, 640, 3), np.float32)))
+    depth = jax.device_put(jnp.full((480, 640), 0.61, jnp.float32))
+    goal = jax.jit(lambda p, f: goal_descriptors(p, model, f))(params, frames[0])
+    jax.block_until_ready(goal)
+    n = args.chain
+
+    if args.what == "desc":
+        @jax.jit
+        def run(params, frames, key):
+            def body(c, inp):
+                i, k = inp
+                fr = jax.lax.dynamic_index_in_dim(frames, i % N, 0, keepdims=False)
+                x = preprocess(model, fr)[None]
+                d = extract_descriptors(params, model.vit, x, layer=cfg.layer,
+                                        facet="token", bin=cfg.use_feature_binning,
+                                        compute_dtype=jnp.bfloat16,
+                                        quantized=model.quantized)[0, 0]
+                return c + d.astype(jnp.float32).sum(), None
+            out, _ = jax.lax.scan(body, 0.0, (jnp.arange(n), jax.random.split(key, n)))
+            return out
+
+        call = lambda key: run(params, frames, key)
+    else:
+        @jax.jit
+        def run(params, goal, frames, depth, key):
+            def body(carry, inp):
+                ev, ei, pv = carry
+                i, k = inp
+                fr = jax.lax.dynamic_index_in_dim(frames, i % N, 0, keepdims=False)
+                res = servo_step(params, model, goal, fr, depth,
+                                 EmaState(ev, ei), pv, k)
+                return (res.ema.value, res.ema.initialized, res.v_c), None
+            c, _ = jax.lax.scan(body, (jnp.zeros(6), jnp.zeros((), bool), jnp.zeros(6)),
+                                (jnp.arange(n), jax.random.split(key, n)))
+            return c[2]
+
+        call = lambda key: run(params, goal, frames, depth, key)
+
+    t0 = time.time()
+    np.asarray(call(jax.random.PRNGKey(0)))
+    print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+
+    logdir = args.logdir or tempfile.mkdtemp(prefix="xprof_")
+    with jax.profiler.trace(logdir):
+        np.asarray(call(jax.random.PRNGKey(1)))
+    print(f"trace in {logdir}", flush=True)
+
+    rows = parse_xplane(logdir)
+    total = sum(r[1] for r in rows)
+    print(f"\n{'self us':>10} {'%':>6} {'count':>6}  op")
+    for name, us, cnt in rows[: args.top]:
+        print(f"{us:10.0f} {100*us/total:6.2f} {cnt:6d}  {name[:110]}")
+    print(f"\nsum of event durations: {total/1000:.2f} ms over {n} iterations "
+          f"=> {total/1000/n:.3f} ms/iter (upper bound; lanes may overlap)")
+
+
+if __name__ == "__main__":
+    main()
