@@ -33,6 +33,8 @@ def main():
                     help="gelu approx + bf16 LN + bf16 softmax")
     ap.add_argument("--softmax-bf16", action="store_true", help="bf16 softmax only")
     ap.add_argument("--quant", action="store_true", help="int8 W8A8 ViT path")
+    ap.add_argument("--static-scales", action="store_true",
+                    help="calibrated static qkv/fc1 activation scales")
     ap.add_argument("--size", type=int, default=518)
     args = ap.parse_args()
 
@@ -62,13 +64,18 @@ def main():
     params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(0))
     if args.bf16_params:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+    N = 4
     if args.quant:
         from vitvs_tpu.models.quant import quantize_vit_params
         import dataclasses as _dc2
-        params = quantize_vit_params(params)
+        calib = None
+        if args.static_scales:
+            calib = jnp.asarray(rng.random((2, args.size, args.size, 3)),
+                                jnp.float32)
+        params = quantize_vit_params(params, cfg=model.vit, calib_images=calib,
+                                     layer=cfg.layer)
         model = _dc2.replace(model, quantized=True)
-    rng = np.random.default_rng(0)
-    N = 4
     frames = jax.device_put(jnp.asarray(rng.random((N, 480, 640, 3), np.float32)))
     depth = jax.device_put(jnp.full((480, 640), 0.61, jnp.float32))
     goal = jax.jit(lambda p, f: goal_descriptors(p, model, f))(params, frames[0])

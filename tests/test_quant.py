@@ -35,7 +35,8 @@ def test_weight_quantization_roundtrip():
 @pytest.mark.parametrize("ffn", ["mlp", "swiglu"])
 def test_quantized_descriptors_close_to_fp(facet, ffn):
     cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=192, depth=4, num_heads=3,
-                            pos_grid=16, stride=14, model_name="tiny", ffn=ffn)
+                            pos_grid=16, stride=14, model_name="tiny", ffn=ffn,
+                            quant_attn="none")
     params = _real_scale_params(cfg)
     qp = quantize_vit_params(params)
     img = jnp.asarray(RNG.random((1, 154, 154, 3)), jnp.float32)
@@ -48,6 +49,67 @@ def test_quantized_descriptors_close_to_fp(facet, ffn):
     cos = (ref * out).sum(-1) / (np.linalg.norm(ref, axis=-1)
                                  * np.linalg.norm(out, axis=-1) + 1e-12)
     assert cos.min() > 0.995, cos.min()
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.5])
+def test_static_calibrated_scales_close_to_fp(alpha):
+    """SmoothQuant-folded static qkv/fc1 scales must preserve descriptors
+    like the dynamic path does (calibration images = serving images here)."""
+    cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=192, depth=4, num_heads=3,
+                            pos_grid=16, stride=14, model_name="tiny")
+    params = _real_scale_params(cfg)
+    img = jnp.asarray(RNG.random((2, 154, 154, 3)), jnp.float32)
+    qp = quantize_vit_params(params, cfg=cfg, calib_images=img, layer=3,
+                             smooth_alpha=alpha)
+    assert qp["blocks"]["act_scales"].shape == (4, 2)
+    ref = np.asarray(extract_descriptors(params, cfg, img, layer=3, facet="token",
+                                         bin=False, compute_dtype=jnp.float32))[0, 0]
+    out = np.asarray(extract_descriptors(qp, cfg, img, layer=3, facet="token",
+                                         bin=False, compute_dtype=jnp.float32,
+                                         quantized=True))[0, 0]
+    cos = (ref * out).sum(-1) / (np.linalg.norm(ref, axis=-1)
+                                 * np.linalg.norm(out, axis=-1) + 1e-12)
+    assert cos.min() > 0.995, cos.min()
+
+
+@pytest.mark.parametrize("mode", ["pv", "qk+pv"])
+def test_int8_attention_close_to_fp(mode):
+    """int8 probs@V (row-max trick) and int8 QK^T must preserve descriptors."""
+    cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=192, depth=4, num_heads=3,
+                            pos_grid=16, stride=14, model_name="tiny",
+                            quant_attn=mode)
+    params = _real_scale_params(cfg)
+    qp = quantize_vit_params(params)
+    img = jnp.asarray(RNG.random((1, 154, 154, 3)), jnp.float32)
+    ref = np.asarray(extract_descriptors(params, cfg, img, layer=3, facet="token",
+                                         bin=False, compute_dtype=jnp.float32))[0, 0]
+    out = np.asarray(extract_descriptors(qp, cfg, img, layer=3, facet="token",
+                                         bin=False, compute_dtype=jnp.float32,
+                                         quantized=True))[0, 0]
+    cos = (ref * out).sum(-1) / (np.linalg.norm(ref, axis=-1)
+                                 * np.linalg.norm(out, axis=-1) + 1e-12)
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_smoothquant_folding_is_exact_at_fp():
+    """Folding s into LN scale/bias and weight rows must leave the fp matmul
+    output unchanged: compare static-quantized vs dynamic-quantized outputs
+    (both int8 — any folding error would show as a systematic offset)."""
+    cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=192, depth=2, num_heads=3,
+                            pos_grid=16, stride=14, model_name="tiny")
+    params = _real_scale_params(cfg)
+    img = jnp.asarray(RNG.random((1, 112, 112, 3)), jnp.float32)
+    qp_dyn = quantize_vit_params(params)
+    qp_sta = quantize_vit_params(params, cfg=cfg, calib_images=img, layer=1)
+    a = np.asarray(extract_descriptors(qp_dyn, cfg, img, layer=1, facet="token",
+                                       bin=False, compute_dtype=jnp.float32,
+                                       quantized=True))[0, 0]
+    b = np.asarray(extract_descriptors(qp_sta, cfg, img, layer=1, facet="token",
+                                       bin=False, compute_dtype=jnp.float32,
+                                       quantized=True))[0, 0]
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1) + 1e-12)
+    assert cos.min() > 0.99, cos.min()
 
 
 def test_quantized_attn_facet_rows_sum_to_one():

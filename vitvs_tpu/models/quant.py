@@ -12,6 +12,19 @@ Scheme (standard dynamic-activation W8A8):
     fly from the LayerNormed inputs — cheap VPU reductions);
   * accumulation in int32, dequantized by the outer product of scales.
 
+Static-scale serving (`quantize_vit_params(..., calib_images=...)`): the
+qkv and fc1 activations (LayerNorm outputs) additionally get CALIBRATED
+per-tensor static scales with SmoothQuant-style outlier-channel folding
+(per-channel smoothing factors folded into the preceding LayerNorm's
+scale/bias and the matmul's weight rows — exact at fp, Xiao et al. 2022).
+Static scales delete the per-token amax reduction AND let XLA fuse
+LayerNorm -> quantize -> int8 write into one pass (the dynamic path must
+materialize the bf16 activations first because the scale depends on a full
+reduction over them).  proj and fc2 inputs (attention / GELU outputs) keep
+per-token dynamic scales: they have no preceding affine to fold smoothing
+into, and their amax reductions already fuse into the producing matmul's
+epilogue.
+
 This is a production-serving feature with no reference equivalent (the
 reference runs full-precision torch on GPU); descriptor error is ~1%
 relative, far below the cosine-matching noise floor — validated in
@@ -41,17 +54,87 @@ def _quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale.astype(jnp.float32)
 
 
-def quantize_vit_params(params: ViTParams) -> QuantParams:
-    """Convert a f32/bf16 params pytree into the int8 serving layout."""
-    blocks = params["blocks"]
+def quantize_vit_params(
+    params: ViTParams,
+    cfg: ViTConfig | None = None,
+    calib_images: jnp.ndarray | None = None,
+    layer: int | None = None,
+    smooth_alpha: float = 0.5,
+    compute_dtype=jnp.bfloat16,
+) -> QuantParams:
+    """Convert a f32/bf16 params pytree into the int8 serving layout.
+
+    Without `calib_images`, activations use per-token dynamic scales.
+    With `calib_images` (B, H, W, 3) (and `cfg`), the qkv/fc1 activations get
+    static per-tensor scales calibrated on those images, with SmoothQuant
+    channel folding (`smooth_alpha`; 0 disables smoothing).
+    """
+    blocks = {k: v.astype(jnp.float32) for k, v in params["blocks"].items()}
     qblocks = dict(blocks)
+
+    if calib_images is not None:
+        assert cfg is not None, "pass cfg when calibrating"
+        L = blocks["qkv_kernel"].shape[0]
+        lyr = cfg.depth - 1 if layer is None else layer
+        a1, a2 = _collect_ln_amax(params, cfg, calib_images, lyr, compute_dtype)
+        # layers past the extraction point never run; give them scale 1
+        # (a=0 rows below already degrade to s=1 / amax=1)
+        act_scales = []
+        for amax_c, kern in ((a1, "qkv_kernel"), (a2, "fc1_kernel")):
+            amax_c = jnp.pad(amax_c, ((0, L - amax_c.shape[0]), (0, 0)))
+            wmax = jnp.max(jnp.abs(blocks[kern]), axis=-1)  # (L, D)
+            if smooth_alpha > 0:
+                s = (jnp.maximum(amax_c, 1e-6) ** smooth_alpha
+                     / jnp.maximum(wmax, 1e-6) ** (1.0 - smooth_alpha))
+                s = jnp.clip(jnp.where((amax_c > 1e-6) & (wmax > 1e-6), s, 1.0),
+                             0.01, 100.0)
+            else:
+                s = jnp.ones_like(amax_c)
+            norm = "norm1" if kern == "qkv_kernel" else "norm2"
+            qblocks[norm + "_scale"] = qblocks[norm + "_scale"] / s
+            qblocks[norm + "_bias"] = qblocks[norm + "_bias"] / s
+            qblocks[kern] = qblocks[kern] * s[:, :, None]
+            amax_t = jnp.max(amax_c / s, axis=-1)  # (L,) folded per-tensor amax
+            act_scales.append(jnp.maximum(amax_t, 1e-6) / 127.0)
+        qblocks["act_scales"] = jnp.stack(act_scales, axis=-1)  # (L, 2) f32
+
     for name in _QUANT_KERNELS:
-        qv, qs = _quantize_weight(blocks[name].astype(jnp.float32))
+        qv, qs = _quantize_weight(qblocks[name])
         qblocks[name] = qv
         qblocks[name + "_scale"] = qs
     out = dict(params)
     out["blocks"] = qblocks
     return out
+
+
+def _collect_ln_amax(params: ViTParams, cfg: ViTConfig, images: jnp.ndarray,
+                     layer: int, compute_dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel |activation| maxima of the two LayerNorm outputs (the qkv
+    and fc1 matmul inputs) over a calibration batch -> ((layer+1, D) x 2)."""
+
+    @jax.jit
+    def run(params, images):
+        x = vit_mod._embed(params, cfg, images.astype(compute_dtype), None)
+        x = x.astype(compute_dtype)
+        blocks = jax.tree.map(lambda a: a.astype(compute_dtype),
+                              params["blocks"])
+        sl = {k: v[: layer + 1] for k, v in blocks.items()}
+
+        def body(h, bp):
+            n1 = vit_mod._layernorm(h, bp["norm1_scale"], bp["norm1_bias"],
+                                    cfg.ln_eps, cfg.ln_f32)
+            h = h + bp["ls1"] * vit_mod._attention(n1, bp, cfg, None)
+            n2 = vit_mod._layernorm(h, bp["norm2_scale"], bp["norm2_bias"],
+                                    cfg.ln_eps, cfg.ln_f32)
+            h = h + bp["ls2"] * vit_mod._mlp(n2, bp, cfg, None)
+            amax = lambda n: jnp.max(jnp.abs(n.astype(jnp.float32)),
+                                     axis=(0, 1))
+            return h, (amax(n1), amax(n2))
+
+        _, (a1, a2) = jax.lax.scan(body, x, sl)
+        return a1, a2
+
+    return run(params, images)
 
 
 def _dyn_quant_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -67,9 +150,20 @@ def _dyn_quant_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _q_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
-              bias: jnp.ndarray | None, out_dtype) -> jnp.ndarray:
-    """int8 dynamic-activation matmul: x (B,T,D) @ w_q (D,E) -> (B,T,E)."""
-    x_q, x_scale = _dyn_quant_act(x)
+              bias: jnp.ndarray | None, out_dtype,
+              act_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """int8 matmul: x (B,T,D) @ w_q (D,E) -> (B,T,E).
+
+    act_scale None  -> per-token dynamic activation scales;
+    act_scale ()    -> calibrated static per-tensor scale (the quantize step
+    then has no cross-token reduction, so XLA fuses it into x's producer and
+    only the int8 activations ever materialize)."""
+    if act_scale is None:
+        x_q, x_scale = _dyn_quant_act(x)
+    else:
+        x_scale = act_scale.reshape(1, 1, 1).astype(jnp.float32)
+        inv = (1.0 / x_scale).astype(x.dtype)
+        x_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_q, w_q, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -88,18 +182,62 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
     h, hd = cfg.num_heads, cfg.head_dim
     dt = x.dtype
 
+    acts = bp.get("act_scales")  # (2,) static qkv/fc1 scales, or None
+
     x_norm = vit_mod._layernorm(x, bp["norm1_scale"], bp["norm1_bias"],
                                 cfg.ln_eps, cfg.ln_f32)
     qkv = _q_matmul(x_norm, bp["qkv_kernel"], bp["qkv_kernel_scale"][0],
-                    bp["qkv_bias"], dt)
+                    bp["qkv_bias"], dt,
+                    act_scale=None if acts is None else acts[0])
     qkv = qkv.reshape(B, T, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     scale = 1.0 / math.sqrt(hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-    if cfg.softmax_f32:
-        logits = logits.astype(jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1).astype(dt)
-    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+    mode = getattr(cfg, "quant_attn", "pv")
+    if mode == "qk+pv":
+        # int8 score matmul: per-(token, head) symmetric scales
+        def _q_th(x):  # (B, T, h, hd) -> int8 + (B, T, h, 1) f32 scales
+            amax = jnp.max(jnp.abs(x), -1, keepdims=True).astype(jnp.float32)
+            s = jnp.maximum(amax, 1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x * (1.0 / s).astype(x.dtype)),
+                          -127, 127).astype(jnp.int8)
+            return xq, s
+
+        qq, qs = _q_th(q)
+        kq, ks = _q_th(k)
+        acc = jnp.einsum("bqhd,bkhd->bhqk", qq, kq,
+                         preferred_element_type=jnp.int32)
+        logits = (acc.astype(jnp.float32)
+                  * jnp.transpose(qs, (0, 2, 1, 3))            # (B,h,Tq,1)
+                  * jnp.transpose(ks, (0, 2, 3, 1)))           # (B,h,1,Tk)
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        if cfg.softmax_f32:
+            logits = logits.astype(jnp.float32)
+    if mode in ("pv", "qk+pv"):
+        # int8 value matmul with the row-max trick: after max subtraction the
+        # row maximum of exp(l - m) is exactly 1, so `round(exp * 127)` IS the
+        # per-row symmetric int8 quantization — no division by the softmax
+        # denominator and no amax pass over the (T x T) matrix; the 1/denom
+        # lands on the (T x hd) output instead.  v is quantized per
+        # (head, channel) so its scale factors out of the key-token
+        # contraction.
+        ls = logits.astype(jnp.float32) * scale
+        m = jnp.max(ls, axis=-1, keepdims=True)
+        e = jnp.exp(ls - m)                                    # (B,h,Tq,Tk)
+        denom = jnp.sum(e, axis=-1)                            # (B,h,Tq)
+        p_q = jnp.round(e * 127.0).astype(jnp.int8)            # e in (0, 1]
+        vamax = jnp.max(jnp.abs(v), axis=1, keepdims=True).astype(jnp.float32)
+        vs = jnp.maximum(vamax, 1e-12) / 127.0                 # (B,1,h,hd)
+        v_q = jnp.clip(jnp.round(v * (1.0 / vs).astype(v.dtype)),
+                       -127, 127).astype(jnp.int8)
+        pv = jnp.einsum("bhqk,bkhd->bqhd", p_q, v_q,
+                        preferred_element_type=jnp.int32)
+        out = (pv.astype(jnp.float32) * vs                     # (B,Tq,h,hd)
+               / (127.0 * jnp.transpose(denom, (0, 2, 1))[..., None]))
+        attn = out.astype(dt).reshape(B, T, D)
+    else:
+        probs = jax.nn.softmax(logits * scale, axis=-1).astype(dt)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
     attn = _q_matmul(attn, bp["proj_kernel"], bp["proj_kernel_scale"][0],
                      bp["proj_bias"], dt)
     x = x + bp["ls1"].astype(dt) * attn
@@ -107,7 +245,8 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
     x_norm = vit_mod._layernorm(x, bp["norm2_scale"], bp["norm2_bias"],
                                 cfg.ln_eps, cfg.ln_f32)
     hmid = _q_matmul(x_norm, bp["fc1_kernel"], bp["fc1_kernel_scale"][0],
-                     bp["fc1_bias"], dt)
+                     bp["fc1_bias"], dt,
+                     act_scale=None if acts is None else acts[1])
     if cfg.ffn == "swiglu":
         # DINOv2 SwiGLUFFNFused (ViT-g): fused w12 output -> silu(x1) * x2,
         # mirroring vit._mlp
@@ -123,6 +262,7 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
 def _cast_block(bp: Dict[str, jnp.ndarray], compute_dtype) -> Dict[str, jnp.ndarray]:
     """int8 kernels and f32 scales pass through; everything else casts."""
     return {k: (v if k in _QUANT_KERNELS or k.endswith("_scale")
+                or k == "act_scales"
                 else v.astype(compute_dtype))
             for k, v in bp.items()}
 
@@ -174,8 +314,10 @@ def vit_features_quant(
                                 cfg.ln_eps, cfg.ln_f32)
     B, T, D = x_norm.shape
     h, hd = cfg.num_heads, cfg.head_dim
+    acts = bp.get("act_scales")
     qkv = _q_matmul(x_norm, bp["qkv_kernel"], bp["qkv_kernel_scale"][0],
-                    bp["qkv_bias"], compute_dtype)
+                    bp["qkv_bias"], compute_dtype,
+                    act_scale=None if acts is None else acts[0])
     qkv = qkv.reshape(B, T, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3, B, h, T, hd)
     if facet == "query":
         return qkv[0]

@@ -69,6 +69,15 @@ class ViTConfig:
     ln_f32: bool = True
     # attention softmax accumulation dtype (f32 parity default)
     softmax_f32: bool = True
+    # int8-serving attention mode (models/quant.py only): 'none' keeps the
+    # score/value matmuls in bf16; 'pv' quantizes probs@V using the row-max
+    # trick (probs row max == 1/denom after max subtraction, so the int8
+    # quantization replaces the softmax division); 'qk+pv' also runs QK^T in
+    # int8 with per-(token, head) scales.  Default 'none': under XLA the
+    # extra quantize fusions cost more HBM passes than the int8 MXU saves
+    # (measured 2.50 vs 2.37 ms/iter ViT-B@518 serving step); the modes pay
+    # off inside fused kernels where the (T x T) tensors stay in VMEM.
+    quant_attn: str = "none"
     # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
     ffn: str = "mlp"
     # explicit FFN hidden width; None = int(embed_dim * mlp_ratio) for mlp,
