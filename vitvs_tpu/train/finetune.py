@@ -136,6 +136,62 @@ def make_pair_batch(model: ServoModel, scene: Scene, key: jax.Array,
     return jax.vmap(one)(jax.random.split(key, batch))
 
 
+def make_servo_pair_batch(
+    model: ServoModel, scene: Scene, key: jax.Array, batch: int,
+    box=(1.2, 1.2, 0.3),                 # BOX_SAMPLE_SIZE (vitvs_v2.py:1393)
+    rot_range_deg: float = 135.0,        # covers ±120° spins mod the 90° search
+    focal_radius: float = 0.32,          # focal circles (vitvs_v2.py:981-1010)
+    perturb_prob: float = 0.5,
+    min_z: float = 0.12,
+):
+    """Goal-view/episode-view training pairs — the benchmark's ACTUAL matching
+    task: view A is the goal pose on the clean texture (the serving goal
+    image, a constant), view B an episode-like start pose (uniform box
+    position, look-at orientation toward a focal point near the poster
+    centre, optical-axis spin), optionally on a perturbed texture (the
+    perturbation sweeps swap the poster per episode while the goal image
+    stays clean — generate_perturbed_models.py + vitvs_v2.py:1440).
+
+    Returns (goal_img (S,S,3), dict of (B, ...): img_b, idx_ab, valid_ab,
+    idx_ba, valid_ba).
+    """
+    from vitvs_tpu.harness.samplers import (DESIRED_ORIENTATION,
+                                            DESIRED_POSITION, REFERENCE_POINT)
+
+    goal_p = jnp.asarray(DESIRED_POSITION, jnp.float32)
+    goal_q = jnp.asarray(DESIRED_ORIENTATION, jnp.float32)
+    half = jnp.asarray(box, jnp.float32) / 2.0
+    ref = jnp.asarray(REFERENCE_POINT, jnp.float32)
+
+    goal_rgb, _ = observe(scene, model.camera, goal_p, goal_q)
+    goal_img = preprocess(model, goal_rgb)
+
+    def one(k):
+        kp, kf, kr, kt, kb = jax.random.split(k, 5)
+        pb = goal_p + jax.random.uniform(kp, (3,), minval=-half, maxval=half)
+        pb = pb.at[2].set(jnp.maximum(pb[2], min_z))  # stay above the plane
+        foc = ref + focal_radius * jnp.append(
+            jax.random.uniform(kf, (2,), minval=-1.0, maxval=1.0), 0.0)
+        qb = se3.look_at_quaternion(pb, foc)
+        spin = jax.random.uniform(kr, (), minval=-jnp.radians(rot_range_deg),
+                                  maxval=jnp.radians(rot_range_deg))
+        qb = se3.rotate_about_body_x(qb, spin)
+        tex = jnp.where(jax.random.bernoulli(kb, perturb_prob),
+                        perturb_texture(kt, scene.texture), scene.texture)
+        rgb_b, _ = observe(scene._replace(texture=tex), model.camera, pb, qb)
+        idx_ab, valid_ab = geometric_correspondences(
+            model, scene, goal_p, goal_q, pb, qb)
+        idx_ba, valid_ba = geometric_correspondences(
+            model, scene, pb, qb, goal_p, goal_q)
+        return {
+            "img_b": preprocess(model, rgb_b),
+            "idx_ab": idx_ab, "valid_ab": valid_ab,
+            "idx_ba": idx_ba, "valid_ba": valid_ba,
+        }
+
+    return goal_img, jax.vmap(one)(jax.random.split(key, batch))
+
+
 # ---------------------------------------------------------------------------
 # Loss + train step
 # ---------------------------------------------------------------------------
@@ -206,3 +262,114 @@ def train_descriptor_model(params, model: ServoModel, scene: Scene,
         if verbose and i % 10 == 0:
             print(f"[train] step {i}: loss {losses[-1]:.4f}", flush=True)
     return state, losses
+
+
+# ---------------------------------------------------------------------------
+# Servo-descriptor training (goal view vs episode views, scanned on-device)
+# ---------------------------------------------------------------------------
+
+
+def _servo_batch_loss(params, model: ServoModel, goal_img, batch) -> jnp.ndarray:
+    """Symmetric InfoNCE between the (shared) goal view and B episode views.
+
+    The goal descriptor is computed ONCE per step and every episode view is
+    extracted in one batched forward — matching the serving structure where
+    goal descriptors are a per-episode constant (harness/pipeline.py)."""
+    imgs = jnp.concatenate([goal_img[None], batch["img_b"]], axis=0)
+    desc = extract_descriptors(
+        params, model.vit, imgs, layer=model.cfg.layer, facet=model.cfg.facet,
+        bin=False,  # binning is linear; train on raw facet descriptors
+        compute_dtype=model.compute_dtype, precision=model.precision,
+    )[:, 0].astype(jnp.float32)
+    d_goal, d_eps = desc[0], desc[1:]
+
+    def one(db, idx_ab, valid_ab, idx_ba, valid_ba):
+        return 0.5 * (info_nce_loss(d_goal, db, idx_ab, valid_ab)
+                      + info_nce_loss(db, d_goal, idx_ba, valid_ba))
+
+    losses = jax.vmap(one)(d_eps, batch["idx_ab"], batch["valid_ab"],
+                           batch["idx_ba"], batch["valid_ba"])
+    return jnp.mean(losses)
+
+
+def make_servo_train_epoch(model: ServoModel, optimizer, scene: Scene,
+                           batch: int, steps_per_call: int,
+                           perturb_prob: float = 0.5):
+    """One jitted call = `steps_per_call` full train steps via lax.scan
+    (batch rendering included) — amortizes the host->TPU round trip, which
+    otherwise dominates at ~30 ms per blocking call in this environment.
+
+    Scene arrays are jit arguments (closure captures embed in the remote
+    compile payload)."""
+
+    @jax.jit
+    def epoch(state: TrainState, scene_arg: Scene, key: jax.Array):
+        def body(state, k):
+            kb, _ = jax.random.split(k)
+            goal_img, batch_data = make_servo_pair_batch(
+                model, scene_arg, kb, batch, perturb_prob=perturb_prob)
+            loss, grads = jax.value_and_grad(
+                lambda p: _servo_batch_loss(p, model, goal_img, batch_data)
+            )(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            import optax
+
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        return jax.lax.scan(body, state, jax.random.split(key, steps_per_call))
+
+    return epoch
+
+
+def matching_quality(params, model: ServoModel, scene: Scene, key: jax.Array,
+                     num_views: int = 8, num_pairs: int | None = None):
+    """Serving-path evaluation: run the actual correspondence matcher between
+    the goal view and episode-like views; report (mean valid-pair fraction,
+    mean patch-index agreement with the geometric ground truth)."""
+    from vitvs_tpu.match import find_correspondences
+    from vitvs_tpu.harness.pipeline import goal_descriptors, preprocess as _pre
+
+    k = num_pairs or model.cfg.num_pairs
+    grid = model.grid()
+    goal_img, batch = make_servo_pair_batch(model, scene, key, num_views,
+                                            perturb_prob=0.0)
+
+    @jax.jit
+    def run(params, goal_img, batch, key):
+        gd = extract_descriptors(
+            params, model.vit, goal_img[None], layer=model.cfg.layer,
+            facet=model.cfg.facet, bin=model.materialize_bins,
+            compute_dtype=model.compute_dtype, precision=model.precision)[0, 0]
+
+        def one(img_b, idx_ab, valid_ab, kk):
+            db = extract_descriptors(
+                params, model.vit, img_b[None], layer=model.cfg.layer,
+                facet=model.cfg.facet, bin=model.materialize_bins,
+                compute_dtype=model.compute_dtype,
+                precision=model.precision)[0, 0]
+            m = find_correspondences(gd, db, grid, k, kk,
+                                     precision=model.precision)
+            # ground truth: patch m.points1 (goal) should land at idx_ab
+            pts1 = m.points1.astype(jnp.int32)
+            pts2 = m.points2.astype(jnp.int32)
+            p1 = pts1[:, 0] * grid[1] + pts1[:, 1]
+            p2 = pts2[:, 0] * grid[1] + pts2[:, 1]
+            gt = idx_ab[p1]
+            gt_ok = valid_ab[p1]
+            # count a match correct if within one patch of the GT target
+            r2, c2 = p2 // grid[1], p2 % grid[1]
+            rg, cg = gt // grid[1], gt % grid[1]
+            near = (jnp.abs(r2 - rg) <= 1) & (jnp.abs(c2 - cg) <= 1)
+            correct = jnp.sum(jnp.where(m.valid & gt_ok, near, False))
+            denom = jnp.maximum(jnp.sum(m.valid & gt_ok), 1)
+            return m.num_valid / k, correct / denom
+
+        frac, acc = jax.vmap(one)(batch["img_b"], batch["idx_ab"],
+                                  batch["valid_ab"],
+                                  jax.random.split(key, num_views))
+        return jnp.mean(frac), jnp.mean(acc)
+
+    f, a = run(params, goal_img, batch, key)
+    return float(f), float(a)
