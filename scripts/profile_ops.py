@@ -2,13 +2,12 @@
 of the chained servo/descriptor graph and print the top XLA ops by self time.
 
 Usage: python scripts/profile_ops.py [step|desc] [--quant] [--attn xla]
-Requires tensorboard-plugin-profile (present in this image) to parse xplane.
+Parses the raw xplane proto directly (the tensorboard profile plugin's
+converters are broken in this image).
 """
 
 import argparse
 import glob
-import gzip
-import json
 import os
 import sys
 import tempfile
@@ -20,35 +19,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_xplane(logdir):
-    """xplane.pb -> list of (op_name, self_us, occurrences) via the
-    tensorboard profile plugin's converter."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    """xplane.pb -> list of (op_name, self_us, occurrences).
+
+    Parses the raw XSpace proto directly (tensorflow's bundled xplane_pb2) —
+    both tensorboard-plugin-profile converter entry points are broken in
+    this image (protobuf codegen mismatch / missing pywrap symbol).
+    Requires PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python, which main()
+    sets before the tensorflow import."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xspaces = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                         recursive=True)
     assert xspaces, f"no xplane under {logdir}"
-    data, _ = rtd.xspace_to_tool_data(xspaces, "trace_viewer", {})
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-    trace = json.loads(data)
-    events = trace.get("traceEvents", [])
-    # keep device-lane complete events
     tot = {}
-    for e in events:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        name = e.get("name", "?")
-        tot.setdefault(name, [0.0, 0])
-        tot[name][0] += e["dur"]
-        tot[name][1] += 1
+    for path in xspaces:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as fh:
+            xs.ParseFromString(fh.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name:
+                continue
+            meta = plane.event_metadata
+            for line in plane.lines:
+                for ev in line.events:
+                    name = meta[ev.metadata_id].name
+                    d = tot.setdefault(name, [0.0, 0])
+                    d[0] += ev.duration_ps / 1e6
+                    d[1] += 1
     return sorted(((k, v[0], v[1]) for k, v in tot.items()),
                   key=lambda x: -x[1])
 
 
 def main():
+    # pure-python protobuf: the generated _pb2 files predate this image's
+    # protoc and reject the C++ fastpath
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("what", choices=["step", "desc"], nargs="?", default="desc")
     ap.add_argument("--quant", action="store_true")

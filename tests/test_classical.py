@@ -110,20 +110,141 @@ def _classical_model(**kw):
 
 
 def test_classical_closed_loop_converges():
+    # 'harris' = the single-scale corner variant; the DoG/binary families
+    # have their own cross-view match test below (they need more resolution
+    # than this 128^2 smoke scene)
     model = _classical_model()
     scene = Scene.create(make_synthetic_poster(256, seed=3), half_size=0.42)
     goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
-    gf = extract_goal_features(model, goal_rgb, max_corners=256)
+    gf = extract_goal_features(model, goal_rgb, max_corners=256,
+                               method="harris")
 
     start = GOAL_POS + jnp.asarray([0.10, -0.08, 0.15], jnp.float32)
     e0t, _ = pose_errors(start, GOAL_QUAT, GOAL_POS, GOAL_QUAT)
 
     def step_fn(rgb, depth, ema, prev_v, key):
         return classical_servo_step(model, gf, rgb, depth, ema, prev_v, key,
-                                    max_corners=256)
+                                    max_corners=256, method="harris")
 
     run = jax.jit(lambda sp, sq, k: rollout_episode(
         None, model, scene, None, sp, sq, k, num_steps=120, step_fn=step_fn))
     res = run(start, GOAL_QUAT, jax.random.PRNGKey(0))
     et = float(res.error_history[-1, 0])
     assert et < 0.5 * float(e0t), (et, float(e0t))
+
+
+# ---------------------------------------------------------------------------
+# Scale-space SIFT + binary families (r2: the reference's three-method axis,
+# ibvs_standard.py:336-347)
+
+def _two_views(seed=3, spin_deg=20.0, offset=(0.30, -0.25, 0.20)):
+    from vitvs_tpu.core.camera import CameraIntrinsics
+    from vitvs_tpu.core import se3
+
+    cam = CameraIntrinsics(width=320, height=240, fx=251.15, fy=251.15)
+    scene = Scene.create(make_synthetic_poster(512, seed=seed))
+    rgb1, _ = observe(scene, cam, GOAL_POS, GOAL_QUAT)
+    q2 = se3.rotate_about_body_x(GOAL_QUAT, jnp.radians(spin_deg))
+    p2 = GOAL_POS + jnp.asarray(offset, jnp.float32)
+    rgb2, _ = observe(scene, cam, p2, q2)
+    g1 = grayscale(rgb1.astype(jnp.float32))
+    g2 = grayscale(rgb2.astype(jnp.float32))
+    return cam, scene, (GOAL_POS, GOAL_QUAT, g1), (p2, q2, g2)
+
+
+def _gt_reproject(cam, p1, q1, uv1, p2, q2, plane_z=0.005):
+    """Exact plane homography: view-1 pixels -> view-2 pixels."""
+    from vitvs_tpu.core import se3
+
+    def R_wc(quat):
+        return np.asarray(se3.matrix_from_quat(jnp.asarray(quat))
+                          @ se3.R_BODY_FROM_OPTICAL)
+
+    R1 = R_wc(q1)
+    d_c = np.stack([(uv1[:, 0] - cam.width / 2) / cam.fx,
+                    (uv1[:, 1] - cam.height / 2) / cam.fy,
+                    np.ones(len(uv1))], 1)
+    d_w = d_c @ R1.T
+    t = (plane_z - float(p1[2])) / d_w[:, 2]
+    world = np.asarray(p1) + t[:, None] * d_w
+    R2 = R_wc(q2)
+    c = (world - np.asarray(p2)) @ R2
+    return np.stack([cam.fx * c[:, 0] / c[:, 2] + cam.width / 2,
+                     cam.fy * c[:, 1] / c[:, 2] + cam.height / 2], 1)
+
+
+def test_sift_features_shapes_and_validity():
+    from vitvs_tpu.classical import sift_features
+
+    _, _, (_, _, g1), _ = _two_views()
+    f = sift_features(g1, 384)
+    assert f.uv.shape == (384, 2) and f.desc.shape == (384, 128)
+    assert int(f.valid.sum()) > 50
+    # descriptors are L2-normalized with the 0.2 clip
+    n = np.linalg.norm(np.asarray(f.desc)[np.asarray(f.valid)], axis=1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-3)
+
+
+def test_orb_akaze_binary_descriptors():
+    from vitvs_tpu.classical import akaze_features, orb_features
+
+    _, _, (_, _, g1), _ = _two_views()
+    fo = orb_features(g1, 400)
+    fa = akaze_features(g1, 256)
+    assert fo.desc.shape == (400, 256) and fo.desc.dtype == jnp.int8
+    assert fa.desc.shape == (256, 486) and fa.desc.dtype == jnp.int8
+    for f in (fo, fa):
+        vals = np.unique(np.asarray(f.desc))
+        assert set(vals.tolist()) <= {0, 1}
+        # bits are informative (not constant)
+        frac = np.asarray(f.desc)[np.asarray(f.valid)].mean()
+        assert 0.2 < frac < 0.8, frac
+
+
+def test_hamming_matching_identity():
+    d = jnp.asarray((RNG.random((64, 256)) > 0.5).astype(np.int8))
+    v = jnp.ones(64, bool)
+    m = match_descriptors(d, d, v, v, 16, norm="hamming")
+    assert int(m.num_valid) == 16
+    np.testing.assert_array_equal(np.asarray(m.idx1), np.asarray(m.idx2))
+    np.testing.assert_allclose(np.asarray(m.distance)[np.asarray(m.valid)], 0)
+
+
+def test_all_methods_match_across_views():
+    """Every family must produce mostly-correct top-24 matches between two
+    benchmark-like views (checked against the exact plane homography)."""
+    from vitvs_tpu.classical import akaze_features, orb_features, sift_features
+    from vitvs_tpu.classical.pipeline import METHOD_NORMS
+
+    cam, _, (p1, q1, g1), (p2, q2, g2) = _two_views()
+    fams = {
+        "sift": lambda g: sift_features(g, 1152),
+        "orb": lambda g: orb_features(g, 600),
+        "akaze": lambda g: akaze_features(g, 384),
+    }
+    for name, fn in fams.items():
+        f1, f2 = fn(g1), fn(g2)
+        m = match_descriptors(f1.desc, f2.desc, f1.valid, f2.valid, 24,
+                              norm=METHOD_NORMS[name])
+        sel = np.asarray(m.valid)
+        uv1 = np.asarray(f1.uv)[np.asarray(m.idx1)][sel]
+        uv2 = np.asarray(f2.uv)[np.asarray(m.idx2)][sel]
+        gt2 = _gt_reproject(cam, p1, q1, uv1, p2, q2)
+        err = np.linalg.norm(uv2 - gt2, axis=1)
+        inliers = (err < 8.0).mean()
+        assert int(m.num_valid) >= 12, (name, int(m.num_valid))
+        assert inliers > 0.5, (name, inliers, np.median(err))
+
+
+def test_subpixel_refinement_bounded():
+    """DoG subpixel offsets stay within +/-0.5 px of the integer extremum."""
+    from vitvs_tpu.classical.scalespace import _gauss_stack, _octave_extrema
+
+    _, _, (_, _, g1), _ = _two_views()
+    gauss, _ = _gauss_stack(g1, 3)
+    dog = gauss[1:] - gauss[:-1]
+    score, oy, ox = _octave_extrema(dog, 0.008, 10.0, 8)
+    sel = np.isfinite(np.asarray(score))
+    assert sel.sum() > 0
+    assert np.abs(np.asarray(ox)[sel]).max() <= 0.5 + 1e-6
+    assert np.abs(np.asarray(oy)[sel]).max() <= 0.5 + 1e-6

@@ -5,6 +5,8 @@ from vitvs_tpu.classical.features import (
     sift_like_descriptors,
     match_descriptors,
 )
+from vitvs_tpu.classical.scalespace import sift_features
+from vitvs_tpu.classical.binary import akaze_features, orb_features
 
 __all__ = [
     "grayscale",
@@ -12,4 +14,7 @@ __all__ = [
     "detect_corners",
     "sift_like_descriptors",
     "match_descriptors",
+    "sift_features",
+    "orb_features",
+    "akaze_features",
 ]

@@ -42,13 +42,20 @@ def run_classical_benchmark(
                               compute_dtype=jnp.float32)
     model = ServoModel(vit=model.vit, cfg=cfg, compute_dtype=jnp.float32)
     scene = scene or Scene.create(make_synthetic_poster(512, seed=0))
+    if method == "orb" and max_corners == 512:
+        max_corners = 1000   # cv2.ORB_create(nfeatures=1000), ibvs_standard.py:341
+    if method == "sift" and max_corners == 512:
+        # cv2.SIFT has no feature cap; DoG top-K needs enough slots that the
+        # two views' keypoint sets overlap (measured r2: top-24-by-distance
+        # inlier rate 0.23 at K=384 -> 0.71 at K=1152 on the poster scene)
+        max_corners = 1152
 
     positions, quats, n = samplers.generate_episode_starts(cfg, seed=seed)
 
     goal_pos = jnp.asarray(samplers.DESIRED_POSITION, jnp.float32)
     goal_quat = jnp.asarray(samplers.DESIRED_ORIENTATION, jnp.float32)
     goal_rgb, _ = observe(scene, model.camera, goal_pos, goal_quat)
-    goal_feats = extract_goal_features(model, goal_rgb, max_corners)
+    goal_feats = extract_goal_features(model, goal_rgb, max_corners, method)
 
     textures = None
     if perturbation:
@@ -60,7 +67,7 @@ def run_classical_benchmark(
     def run_one(gf, sc, sp, sq, k):
         def step_fn(rgb, depth, ema, prev_v, key):
             return classical_servo_step(model, gf, rgb, depth, ema, prev_v,
-                                        key, max_corners)
+                                        key, max_corners, method=method)
         return rollout_episode(None, model, sc, None, sp, sq, k,
                                num_steps=num_steps, step_fn=step_fn)
 
@@ -84,7 +91,8 @@ def run_classical_benchmark(
                 a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
             return jnp.asarray(a)
 
-        keys = jax.random.split(jax.random.PRNGKey(lo), chunk)
+        # keys from the absolute episode index: chunk-size invariant
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk))
         if textures is None:
             batch = run_batch(goal_feats, scene, padded(positions),
                               padded(quats), keys)

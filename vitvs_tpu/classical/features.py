@@ -135,12 +135,17 @@ def _bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray
 def sift_like_descriptors(
     img: jnp.ndarray,
     uv: jnp.ndarray,
+    scale: jnp.ndarray | float = 1.0,
     num_angle_bins: int = 36,
     grid: int = 4,
     bins: int = 8,
     window: int = 16,
 ) -> jnp.ndarray:
-    """(K, grid*grid*bins) rotation-aware gradient-histogram descriptors."""
+    """(K, grid*grid*bins) rotation-aware gradient-histogram descriptors.
+
+    `scale` (scalar or (K,)) multiplies the sampling offsets, so a keypoint
+    detected at DoG scale s is described over a window of `window * s` pixels
+    — the scale adaptation cv2.SIFT gets from its octave pyramid."""
     gx, gy = gradients(img)
     mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
@@ -150,12 +155,14 @@ def sift_like_descriptors(
     off = jnp.arange(window, dtype=jnp.float32) - half + 0.5
     oy, ox = jnp.meshgrid(off, off, indexing="ij")
     gauss = jnp.exp(-(ox ** 2 + oy ** 2) / (2 * (half ** 2)))
+    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (uv.shape[0],))
 
-    def describe(pt):
+    def describe(pt, sc):
         u, v = pt[0], pt[1]
+        oy_, ox_ = oy * sc, ox * sc
         # --- dominant orientation from an axis-aligned window
-        m = _bilinear(mag, v + oy, u + ox)
-        a = _bilinear(ang, v + oy, u + ox)
+        m = _bilinear(mag, v + oy_, u + ox_)
+        a = _bilinear(ang, v + oy_, u + ox_)
         hist_idx = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * num_angle_bins)
         hist_idx = jnp.clip(hist_idx, 0, num_angle_bins - 1).astype(jnp.int32)
         ohist = jnp.zeros(num_angle_bins).at[hist_idx.reshape(-1)].add(
@@ -165,8 +172,8 @@ def sift_like_descriptors(
 
         # --- rotated resampling
         c, s = jnp.cos(theta), jnp.sin(theta)
-        rx = c * ox - s * oy
-        ry = s * ox + c * oy
+        rx = (c * ox - s * oy) * sc
+        ry = (s * ox + c * oy) * sc
         m = _bilinear(mag, v + ry, u + rx)
         a = _bilinear(ang, v + ry, u + rx) - theta  # gradient angles re-referenced
 
@@ -192,7 +199,7 @@ def sift_like_descriptors(
         desc = jnp.minimum(desc, 0.2)
         return desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
 
-    return jax.vmap(describe)(uv)
+    return jax.vmap(describe)(uv, scale)
 
 
 class Matches(NamedTuple):
@@ -205,19 +212,34 @@ class Matches(NamedTuple):
 
 def match_descriptors(desc1: jnp.ndarray, desc2: jnp.ndarray,
                       valid1: jnp.ndarray, valid2: jnp.ndarray,
-                      num_pairs: int) -> Matches:
-    """Brute-force mutual-NN (crossCheck) L2 matching, sorted by distance,
-    top `num_pairs` — BFMatcher(NORM_L2, crossCheck=True).match + sort
-    (ibvs_standard.py:361-391)."""
+                      num_pairs: int, norm: str = "l2") -> Matches:
+    """Brute-force mutual-NN (crossCheck) matching, sorted by distance,
+    top `num_pairs` — BFMatcher(norm, crossCheck=True).match + sort
+    (ibvs_standard.py:361-391).
+
+    norm='l2' for float descriptors (SIFT); norm='hamming' for binary {0,1}
+    int8 descriptors (ORB/AKAZE, NORM_HAMMING at ibvs_standard.py:341-345).
+    The Hamming distance runs as ONE int8 MXU matmul via
+    ``H(a, b) = |a| + |b| - 2 a.b`` for 0/1 vectors."""
     big = jnp.float32(3e38)
-    d2 = (jnp.sum(desc1 ** 2, 1)[:, None] + jnp.sum(desc2 ** 2, 1)[None, :]
-          - 2.0 * desc1 @ desc2.T)
+    if norm == "hamming":
+        a = desc1.astype(jnp.int8)
+        b = desc2.astype(jnp.int8)
+        dot = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        s1 = jnp.sum(a.astype(jnp.int32), axis=1)
+        s2 = jnp.sum(b.astype(jnp.int32), axis=1)
+        d2 = (s1[:, None] + s2[None, :] - 2 * dot).astype(jnp.float32)
+    else:
+        d2 = (jnp.sum(desc1 ** 2, 1)[:, None] + jnp.sum(desc2 ** 2, 1)[None, :]
+              - 2.0 * desc1 @ desc2.T)
     d2 = jnp.where(valid1[:, None] & valid2[None, :], jnp.maximum(d2, 0.0), big)
     nn12 = jnp.argmin(d2, axis=1)
     nn21 = jnp.argmin(d2, axis=0)
     k1 = jnp.arange(desc1.shape[0])
     mutual = (nn21[nn12] == k1) & valid1 & (jnp.min(d2, axis=1) < big)
-    dist = jnp.where(mutual, jnp.sqrt(jnp.min(d2, axis=1)), big)
+    best = jnp.min(d2, axis=1)
+    dist = jnp.where(mutual, best if norm == "hamming" else jnp.sqrt(best), big)
     order_d, order_i = jax.lax.top_k(-dist, min(num_pairs, dist.shape[0]))
     sel_dist = -order_d
     sel_valid = sel_dist < big

@@ -44,12 +44,51 @@ class GoalFeatures(NamedTuple):
     valid: jnp.ndarray   # (K,)
 
 
+# method -> BFMatcher norm, mirroring the reference dispatch
+# (ibvs_standard.py:336-347): SIFT NORM_L2; ORB/AKAZE NORM_HAMMING.
+METHOD_NORMS = {"sift": "l2", "orb": "hamming", "akaze": "hamming",
+                "harris": "l2"}
+
+
+def extract_features(model: ServoModel, gray: jnp.ndarray,
+                     max_corners: int = 512,
+                     method: str = "sift") -> GoalFeatures:
+    """detectAndCompute for one grayscale frame, per-method
+    (ibvs_standard.py:336-350):
+
+    'sift'   — DoG scale-space keypoints + 128-d gradient descriptors;
+    'orb'    — Harris pyramid corners + steered BRIEF (256-bit binary);
+    'akaze'  — nonlinear scale space + M-LDB (486-bit binary);
+    'harris' — round-1 single-scale Harris + SIFT-like (kept as the
+               cheapest variant).
+    """
+    if method == "sift":
+        from vitvs_tpu.classical.scalespace import sift_features
+
+        f = sift_features(gray, max_corners)
+        return GoalFeatures(uv=f.uv, desc=f.desc, valid=f.valid)
+    if method == "orb":
+        from vitvs_tpu.classical.binary import orb_features
+
+        f = orb_features(gray, nfeatures=max_corners)
+        return GoalFeatures(uv=f.uv, desc=f.desc, valid=f.valid)
+    if method == "akaze":
+        from vitvs_tpu.classical.binary import akaze_features
+
+        f = akaze_features(gray, max_keypoints=max_corners)
+        return GoalFeatures(uv=f.uv, desc=f.desc, valid=f.valid)
+    if method == "harris":
+        c = detect_corners(gray, max_corners)
+        d = sift_like_descriptors(gray, c.uv)
+        return GoalFeatures(uv=c.uv, desc=d, valid=c.valid)
+    raise ValueError(f"unknown classical method {method!r}")
+
+
 def extract_goal_features(model: ServoModel, goal_rgb: jnp.ndarray,
-                          max_corners: int = 512) -> GoalFeatures:
+                          max_corners: int = 512,
+                          method: str = "sift") -> GoalFeatures:
     g = grayscale(jnp.asarray(goal_rgb, jnp.float32))
-    c = detect_corners(g, max_corners)
-    d = sift_like_descriptors(g, c.uv)
-    return GoalFeatures(uv=c.uv, desc=d, valid=c.valid)
+    return extract_features(model, g, max_corners, method)
 
 
 def classical_servo_step(
@@ -61,20 +100,21 @@ def classical_servo_step(
     prev_v_c: jnp.ndarray,
     key: jax.Array,
     max_corners: int = 512,
+    method: str = "sift",
 ) -> StepResult:
     cfg = model.cfg
     cam = model.camera
     del key  # classical matching is deterministic (top-by-distance)
 
     g = grayscale(jnp.asarray(frame_rgb, jnp.float32))
-    corners = detect_corners(g, max_corners)
-    desc = sift_like_descriptors(g, corners.uv)
+    feats = extract_features(model, g, max_corners, method)
 
-    m = match_descriptors(goal_feats.desc, desc, goal_feats.valid, corners.valid,
-                          cfg.num_pairs)
+    m = match_descriptors(goal_feats.desc, feats.desc, goal_feats.valid,
+                          feats.valid, cfg.num_pairs,
+                          norm=METHOD_NORMS[method])
 
     s_uv_star = goal_feats.uv[m.idx1]          # goal points (kp1, queryIdx)
-    s_uv = corners.uv[m.idx2]                  # current points (kp2, trainIdx)
+    s_uv = feats.uv[m.idx2]                    # current points (kp2, trainIdx)
     s_uv_star = jnp.round(s_uv_star)
     s_uv = jnp.round(s_uv)
 

@@ -24,8 +24,13 @@ import sys
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU-native ViT-VS benchmark")
     p.add_argument("--method", default="dino",
-                   choices=["dino", "classical", "sift", "orb", "akaze"],
-                   help="feature pipeline (sift/orb/akaze alias 'classical')")
+                   choices=["dino", "classical", "sift", "orb", "akaze",
+                            "harris"],
+                   help="feature pipeline: dino = ViT descriptors; sift = DoG"
+                        " scale-space + 128-d L2; orb = steered BRIEF binary;"
+                        " akaze = nonlinear scale space + M-LDB binary;"
+                        " harris = single-scale corner baseline"
+                        " ('classical' aliases sift)")
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--perturbation", action="store_true",
                    help="per-episode perturbed poster textures")
