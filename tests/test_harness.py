@@ -215,3 +215,29 @@ def test_results_invariant_to_chunk_size(tmp_path):
     np.testing.assert_allclose(np.asarray(sum1["final_positions"], float),
                                np.asarray(sum2["final_positions"], float),
                                atol=1e-6)
+
+
+def test_all_frozen_fast_forward_matches_device_run(tmp_path):
+    """Once every episode in a chunk is frozen, the remaining segments are
+    synthesized host-side (benchmark.run_chunk fast-forward).  Driving
+    num_steps past max_iterations freezes all episodes mid-sweep; the
+    segmented run (which fast-forwards) must equal the single-segment run
+    (which executes every step on device)."""
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=15)
+    cfg = model.cfg.replace(num_samples=2, num_circles=1)
+    common = dict(params=params, model=model, scene=scene, out_dir=str(tmp_path),
+                  rotation_search=False, chunk=2, num_steps=40, verbose=False,
+                  save=False)
+    s1, _, sum1 = run_benchmark(cfg, config_name="a", segment_steps=None, **common)
+    s2, _, sum2 = run_benchmark(cfg, config_name="b", segment_steps=10, **common)
+    # all episodes must actually have frozen before T (else this test is vacuous)
+    assert all(int(it) <= 16 for it in sum2["all_iteration_histories"])
+    assert s1.num_converged == s2.num_converged
+    for k in ("final_positions", "position_errors", "lowest_position_errors",
+              "all_iteration_histories"):
+        np.testing.assert_allclose(np.asarray(sum1[k], float),
+                                   np.asarray(sum2[k], float), atol=0)
+    for a, b in zip(sum1["all_position_histories"], sum2["all_position_histories"]):
+        np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float), atol=0)
+    for a, b in zip(sum1["all_applied_velocity_x"], sum2["all_applied_velocity_x"]):
+        np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float), atol=0)

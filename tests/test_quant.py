@@ -61,7 +61,9 @@ def test_static_calibrated_scales_close_to_fp(alpha):
     img = jnp.asarray(RNG.random((2, 154, 154, 3)), jnp.float32)
     qp = quantize_vit_params(params, cfg=cfg, calib_images=img, layer=3,
                              smooth_alpha=alpha)
-    assert qp["blocks"]["act_scales"].shape == (4, 2)
+    # (L, 4): static scales for all four int8 matmul inputs
+    # [qkv, fc1, proj, fc2]
+    assert qp["blocks"]["act_scales"].shape == (4, 4)
     ref = np.asarray(extract_descriptors(params, cfg, img, layer=3, facet="token",
                                          bin=False, compute_dtype=jnp.float32))[0, 0]
     out = np.asarray(extract_descriptors(qp, cfg, img, layer=3, facet="token",

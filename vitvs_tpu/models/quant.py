@@ -76,7 +76,8 @@ def quantize_vit_params(
         assert cfg is not None, "pass cfg when calibrating"
         L = blocks["qkv_kernel"].shape[0]
         lyr = cfg.depth - 1 if layer is None else layer
-        a1, a2 = _collect_ln_amax(params, cfg, calib_images, lyr, compute_dtype)
+        a1, a2, a3, a4 = _collect_act_amax(params, cfg, calib_images, lyr,
+                                           compute_dtype)
         # layers past the extraction point never run; give them scale 1
         # (a=0 rows below already degrade to s=1 / amax=1)
         act_scales = []
@@ -96,7 +97,15 @@ def quantize_vit_params(
             qblocks[kern] = qblocks[kern] * s[:, :, None]
             amax_t = jnp.max(amax_c / s, axis=-1)  # (L,) folded per-tensor amax
             act_scales.append(jnp.maximum(amax_t, 1e-6) / 127.0)
-        qblocks["act_scales"] = jnp.stack(act_scales, axis=-1)  # (L, 2) f32
+        # proj / fc2 inputs (attention / GELU outputs): per-tensor static
+        # scales, no smoothing fold available (no preceding affine) — with a
+        # 1.25x calibration headroom since these activations are not LN-
+        # bounded (profiled r2: their per-token amax passes cost ~0.4 ms/iter
+        # at ViT-B@518)
+        for amax_t in (a3, a4):
+            amax_t = jnp.pad(amax_t, (0, L - amax_t.shape[0]))
+            act_scales.append(jnp.maximum(amax_t * 1.25, 1e-6) / 127.0)
+        qblocks["act_scales"] = jnp.stack(act_scales, axis=-1)  # (L, 4) f32
 
     for name in _QUANT_KERNELS:
         qv, qs = _quantize_weight(qblocks[name])
@@ -107,10 +116,16 @@ def quantize_vit_params(
     return out
 
 
-def _collect_ln_amax(params: ViTParams, cfg: ViTConfig, images: jnp.ndarray,
-                     layer: int, compute_dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-channel |activation| maxima of the two LayerNorm outputs (the qkv
-    and fc1 matmul inputs) over a calibration batch -> ((layer+1, D) x 2)."""
+def _collect_act_amax(
+    params: ViTParams, cfg: ViTConfig, images: jnp.ndarray,
+    layer: int, compute_dtype,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """|activation| maxima of all four int8 matmul inputs over a calibration
+    batch: per-channel for the LayerNorm outputs (qkv/fc1 inputs — SmoothQuant
+    folds these), per-tensor for the attention and GELU/SwiGLU outputs
+    (proj/fc2 inputs).  Returns ((layer+1, D), (layer+1, D), (layer+1,),
+    (layer+1,))."""
+    import math
 
     @jax.jit
     def run(params, images):
@@ -119,20 +134,37 @@ def _collect_ln_amax(params: ViTParams, cfg: ViTConfig, images: jnp.ndarray,
         blocks = jax.tree.map(lambda a: a.astype(compute_dtype),
                               params["blocks"])
         sl = {k: v[: layer + 1] for k, v in blocks.items()}
+        h_heads, hd = cfg.num_heads, cfg.head_dim
+        scale = 1.0 / math.sqrt(hd)
 
         def body(h, bp):
+            B, T, D = h.shape
             n1 = vit_mod._layernorm(h, bp["norm1_scale"], bp["norm1_bias"],
                                     cfg.ln_eps, cfg.ln_f32)
-            h = h + bp["ls1"] * vit_mod._attention(n1, bp, cfg, None)
+            qkv = (jnp.einsum("btd,de->bte", n1, bp["qkv_kernel"])
+                   + bp["qkv_bias"]).reshape(B, T, 3, h_heads, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            probs = jax.nn.softmax(logits * scale, -1).astype(h.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+            proj = jnp.einsum("btd,de->bte", attn, bp["proj_kernel"]) + bp["proj_bias"]
+            h = h + bp["ls1"] * proj
             n2 = vit_mod._layernorm(h, bp["norm2_scale"], bp["norm2_bias"],
                                     cfg.ln_eps, cfg.ln_f32)
-            h = h + bp["ls2"] * vit_mod._mlp(n2, bp, cfg, None)
-            amax = lambda n: jnp.max(jnp.abs(n.astype(jnp.float32)),
-                                     axis=(0, 1))
-            return h, (amax(n1), amax(n2))
+            mid = jnp.einsum("btd,de->bte", n2, bp["fc1_kernel"]) + bp["fc1_bias"]
+            if cfg.ffn == "swiglu":
+                x1, x2 = jnp.split(mid, 2, axis=-1)
+                act = jax.nn.silu(x1) * x2
+            else:
+                act = jax.nn.gelu(mid, approximate=cfg.gelu_approx)
+            fc2 = jnp.einsum("btd,de->bte", act, bp["fc2_kernel"]) + bp["fc2_bias"]
+            h = h + bp["ls2"] * fc2
+            amax_c = lambda n: jnp.max(jnp.abs(n.astype(jnp.float32)), axis=(0, 1))
+            amax_t = lambda n: jnp.max(jnp.abs(n.astype(jnp.float32)))
+            return h, (amax_c(n1), amax_c(n2), amax_t(attn), amax_t(act))
 
-        _, (a1, a2) = jax.lax.scan(body, x, sl)
-        return a1, a2
+        _, (a1, a2, a3, a4) = jax.lax.scan(body, x, sl)
+        return a1, a2, a3, a4
 
     return run(params, images)
 
@@ -182,7 +214,7 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
     h, hd = cfg.num_heads, cfg.head_dim
     dt = x.dtype
 
-    acts = bp.get("act_scales")  # (2,) static qkv/fc1 scales, or None
+    acts = bp.get("act_scales")  # (4,) static [qkv, fc1, proj, fc2], or None
 
     x_norm = vit_mod._layernorm(x, bp["norm1_scale"], bp["norm1_bias"],
                                 cfg.ln_eps, cfg.ln_f32)
@@ -235,11 +267,20 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
         out = (pv.astype(jnp.float32) * vs                     # (B,Tq,h,hd)
                / (127.0 * jnp.transpose(denom, (0, 2, 1))[..., None]))
         attn = out.astype(dt).reshape(B, T, D)
+    elif (cfg.attn_impl == "pallas"
+          or (cfg.attn_impl == "auto" and jax.default_backend() == "tpu")):
+        # flash-attention Pallas kernel: the (T x T) probs never reach HBM
+        # (profiled r2: XLA's softmax materialization was ~0.8 ms/iter of
+        # the 2.5 ms ViT-B@518 servo step)
+        from vitvs_tpu.ops.attention import mha_attention
+
+        attn = mha_attention(q, k, v).reshape(B, T, D)
     else:
         probs = jax.nn.softmax(logits * scale, axis=-1).astype(dt)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
     attn = _q_matmul(attn, bp["proj_kernel"], bp["proj_kernel_scale"][0],
-                     bp["proj_bias"], dt)
+                     bp["proj_bias"], dt,
+                     act_scale=None if acts is None else acts[2])
     x = x + bp["ls1"].astype(dt) * attn
 
     x_norm = vit_mod._layernorm(x, bp["norm2_scale"], bp["norm2_bias"],
@@ -255,7 +296,8 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
     else:
         hmid = jax.nn.gelu(hmid, approximate=cfg.gelu_approx)
     mlp = _q_matmul(hmid, bp["fc2_kernel"], bp["fc2_kernel_scale"][0],
-                    bp["fc2_bias"], dt)
+                    bp["fc2_bias"], dt,
+                    act_scale=None if acts is None else acts[3])
     return x + bp["ls2"].astype(dt) * mlp
 
 
