@@ -99,26 +99,47 @@ def test_same_image_shortcut():
     assert int(res.num_valid) == 10
 
 
-def test_degenerate_all_perfect_cycles_yields_zero():
-    """Reference behavior: if every token has a perfect cycle (e.g. permuted
-    identical descriptors), dn = 0/(0+1e-8) = 0 < 1 selects NOTHING
-    (vitvs_v2.py:123-131 returns None).  We mark num_valid = 0."""
+def test_degenerate_all_perfect_cycles_stays_matchable():
+    """When every token has a perfect cycle (full mutual-NN bijection,
+    near-goal views) the reference's dn = 0/(0+1e-8) = 0 < 1 selects NOTHING
+    (vitvs_v2.py:123-131 returns None -> feature-failure abort mid-
+    convergence).  Our matcher keeps perfect cycles eligible (module
+    docstring): all t tokens match, identity mapping, so the servo can
+    actually finish."""
     gh = gw = 4
     t = gh * gw
-    r = np.random.default_rng(9)
-    d1 = r.standard_normal((t, 8)).astype(np.float32) * 10
-    # descriptors distinct enough that each maps to itself but sims < 0.99 mean
-    d2 = -d1  # nn_1 = argmax cos → identity of negated? ensure bijection:
-    # cos(d1_i, -d1_j) maximal at the least-aligned pair; to force perfect
-    # cycles reliably use orthogonal basis vectors
+    # orthogonal basis descriptors: nn_1 = nn_2 = identity, mean sim << 0.99
     d1 = np.eye(t, dtype=np.float32)
     d2 = np.eye(t, dtype=np.float32) * 0.5 - 0.1
-    eligible_ref, _, sim1, same = torch_oracle_eligible(d1, d2, gw)
+    eligible_ref, nn1_ref, _, same = torch_oracle_eligible(d1, d2, gw)
+    assert not same and len(eligible_ref) == 0  # the reference degeneracy
     res = C.find_correspondences(jnp.asarray(d1), jnp.asarray(d2), (gh, gw),
                                  num_pairs=6, key=jax.random.PRNGKey(3),
                                  precision="highest")
-    if not same:
-        assert int(res.num_valid) == len(eligible_ref)
+    assert int(res.num_valid) == 6
+    p1, p2 = np.asarray(res.points1), np.asarray(res.points2)
+    for i in range(6):
+        src = int(p1[i, 0]) * gw + int(p1[i, 1])
+        assert int(p2[i, 0]) * gw + int(p2[i, 1]) == nn1_ref[src] == src
+
+
+def test_perfect_cycles_eligible_is_noop_when_nondegenerate():
+    """The `| (d == 0)` augmentation must not change selection whenever any
+    imperfect cycle exists (perfect cycles already reach dn == 1 under IEEE
+    division): random descriptors, jax vs torch oracle eligibility."""
+    for seed in range(6):
+        gh = gw = 7
+        d1, d2 = _random_descs(gh * gw, 32, seed=100 + seed)
+        eligible_ref, _, _, same = torch_oracle_eligible(d1, d2, gw)
+        assert not same
+        res = C.find_correspondences(jnp.asarray(d1), jnp.asarray(d2),
+                                     (gh, gw), num_pairs=gh * gw,
+                                     key=jax.random.PRNGKey(seed),
+                                     precision="highest")
+        got = {int(r) * gw + int(c)
+               for (r, c), v in zip(np.asarray(res.points1),
+                                    np.asarray(res.valid)) if v}
+        assert got == eligible_ref
 
 
 def test_match_points_to_pixels_reference_chain():

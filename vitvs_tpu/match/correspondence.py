@@ -14,8 +14,22 @@ Rebuilds `chunk_cosine_sim` / `find_correspondences_batch` (reference
 Numerical parity notes (kept deliberately):
 * The cyclical-distance normalization `(d - min) / (max(d - min) + 1e-8)`
   with threshold >= 1 selects, in float32, exactly the tokens achieving the
-  maximum (usually perfect cycles) — INCLUDING the degenerate reference
-  behavior where all-equal distances select nothing (vitvs_v2.py:123-131).
+  maximum (usually perfect cycles) — vitvs_v2.py:123-131.  Perfect cycles
+  (cyclical distance == 0) are ADDITIONALLY always eligible, which fixes two
+  failure modes of the literal arithmetic (diagnosed r2 on a hardware sweep
+  that aborted every episode 1-2 cm short of convergence):
+  (a) TPU division is reciprocal-multiply, so `x / (x + 1e-8)` rounds to
+      0.99999994 < 1 for non-power-of-two x — near the goal (small max cycle
+      distance, e.g. sqrt(2)) NO token passes the >= 1 threshold even though
+      hundreds of cycles are perfect.  torch/IEEE division returns exactly
+      1.0 there, so this is TPU-parity restoration, not a departure;
+  (b) when EVERY cycle is perfect (full mutual-NN bijection at near-goal
+      views) the reference's dn is all-zero and selects nothing, tripping
+      the feature-failure abort mid-convergence; the reference only escapes
+      because pretrained DINOv2 similarity crosses the 0.99 same-image
+      shortcut first.
+  In every case where the literal arithmetic selects perfect cycles, the
+  selection is identical.
 * The same-image shortcut `mean(sim_1) > 0.99` (vitvs_v2.py:84) is a
   branch-free select here.
 """
@@ -136,7 +150,9 @@ def find_correspondences(
     d = -jnp.sqrt(jnp.sum(jnp.square(cyc_ij - ij), axis=-1))  # negative L2
     dn = d - jnp.min(d)
     dn = dn / (jnp.max(dn) + 1e-8)
-    eligible = dn >= distance_threshold   # float32-exact reference semantics
+    # float32-exact reference semantics, plus: perfect cycles stay eligible
+    # in the all-perfect degenerate case (see module docstring)
+    eligible = (dn >= distance_threshold) | (d == 0.0)
 
     # same-image shortcut: every token eligible, identity match, sim 1.0
     eligible = jnp.where(same_image, jnp.ones_like(eligible), eligible)
