@@ -29,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--model", default="dinov2_vitb14")
-    ap.add_argument("--variants", default="xla,pallas",
+    ap.add_argument("--variants", default="xla,fast",
                     help="comma list of attn_impl values to A/B")
     args = ap.parse_args()
 

@@ -29,6 +29,24 @@ def test_pallas_attention_matches_sdpa(shape):
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(1, 65, 2, 32), (2, 139, 3, 64)])
+def test_fast_attention_matches_sdpa(shape):
+    """No-max deferred-normalize serving kernel: equal to softmax up to the
+    bf16 probability cast (and exercises the zero-pad denominator
+    correction via T not multiple of 128)."""
+    B, T, H, D = shape
+    q = jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+    ref = np.asarray(_sdpa_ref(q, k, v))
+    out = np.asarray(mha_attention(q, k, v, q_tile=64, interpret=True,
+                                   fast=True))
+    # f32 inputs: no-max exp + deferred normalize is mathematically
+    # identical to softmax (bounded logits), so tolerance stays tight; the
+    # bf16 probability cast only engages with bf16 inputs (TPU serving)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("t1,t2,d", [(100, 100, 96), (130, 70, 200)])
 def test_pallas_matcher_matches_xla(t1, t2, d):
     a = jnp.asarray(RNG.standard_normal((t1, d)).astype(np.float32))

@@ -267,14 +267,15 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
         out = (pv.astype(jnp.float32) * vs                     # (B,Tq,h,hd)
                / (127.0 * jnp.transpose(denom, (0, 2, 1))[..., None]))
         attn = out.astype(dt).reshape(B, T, D)
-    elif (cfg.attn_impl == "pallas"
+    elif (cfg.attn_impl in ("pallas", "fast")
           or (cfg.attn_impl == "auto" and jax.default_backend() == "tpu")):
-        # flash-attention Pallas kernel: the (T x T) probs never reach HBM
-        # (profiled r2: XLA's softmax materialization was ~0.8 ms/iter of
-        # the 2.5 ms ViT-B@518 servo step)
+        # flash-attention Pallas kernel; 'fast' = no-max deferred-normalize
+        # softmax (ops/attention._fast_kernel), the serving default's
+        # candidate for cutting the ~0.78 ms/iter XLA attention fusion
         from vitvs_tpu.ops.attention import mha_attention
 
-        attn = mha_attention(q, k, v).reshape(B, T, D)
+        attn = mha_attention(q, k, v,
+                             fast=cfg.attn_impl == "fast").reshape(B, T, D)
     else:
         probs = jax.nn.softmax(logits * scale, axis=-1).astype(dt)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)

@@ -220,13 +220,14 @@ def _attention(
     qkv = jnp.einsum("btd,de->bte", x_norm, bp["qkv_kernel"], precision=precision) + bp["qkv_bias"]
     qkv = qkv.reshape(B, T, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
-    use_pallas = cfg.attn_impl == "pallas" or (
+    use_pallas = cfg.attn_impl in ("pallas", "fast") or (
         cfg.attn_impl == "auto" and jax.default_backend() == "tpu"
     )
     if use_pallas:
         from vitvs_tpu.ops.attention import mha_attention
 
-        out = mha_attention(q, k, v).reshape(B, T, D)
+        out = mha_attention(q, k, v,
+                            fast=cfg.attn_impl == "fast").reshape(B, T, D)
     else:
         scale = 1.0 / math.sqrt(hd)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision)

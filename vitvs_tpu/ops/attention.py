@@ -63,17 +63,55 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
+def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad: int):
+    """No-max, deferred-normalize softmax attention (serving mode).
+
+    Requires bounded logits (|s| < ~80 after scaling) — guaranteed for LN'd
+    ViT activations (calibrated max |logit| ~15-30); exp(s) cannot overflow
+    f32.  VPU cost per score tile is ONE exp pass + one sum reduction
+    (standard softmax needs max-reduce, subtract, exp, sum, divide):
+
+    * no max subtraction;
+    * K/V are zero-padded: padded columns score exp(0) = 1 and multiply
+      zero V rows, so the ONLY correction is subtracting the constant
+      `n_pad` from the denominator — no iota mask, no select pass;
+    * normalization is applied to the (TQ, D) output rows instead of the
+      (TQ, TK) probability tile (21x fewer elements at D=64, T=1370).
+    """
+    q = q_ref[0]                       # (TQ, D) bf16, pre-scaled
+    k = k_ref[0]                       # (TK_pad, D)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                  # (TQ, TK_pad) f32, VMEM only
+    # q arrives pre-scaled by log2(e) as well, so exp(s_raw) == exp2(s):
+    # VPU exp is exp2(x * log2e) — folding the multiply into the (TQ, D)
+    # Q scale removes a full pass over the (TQ, TK) tile
+    e = jnp.exp2(s)
+    denom = jnp.sum(e, axis=-1, keepdims=True) - float(n_pad)  # (TQ, 1)
+    num = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                  # (TQ, D) f32
+    o_ref[0] = (num * (1.0 / denom)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret", "fast"))
 def mha_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     q_tile: int = 512,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention, (B, T, h, d) layout -> (B, T, h, d).
 
-    Scale is d^-0.5, matching torch SDPA defaults.
+    Scale is d^-0.5, matching torch SDPA defaults.  fast=True uses the
+    no-max deferred-normalize kernel (serving mode, bounded logits — see
+    `_fast_kernel`); numerically equal to softmax up to bf16 probability
+    rounding.
     """
     B, T, H, D = q.shape
     scale = 1.0 / math.sqrt(D)
@@ -92,13 +130,15 @@ def mha_attention(
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, T, D)
         return jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0)))
 
-    qp = prep(q * scale, tq_pad)
+    qp = prep(q * (scale * math.log2(math.e) if fast else scale), tq_pad)
     kp = prep(k, tk_pad)
     vp = prep(v, tk_pad)
     n_q = tq_pad // q_tile
 
+    kernel = (functools.partial(_fast_kernel, n_pad=tk_pad - T) if fast
+              else functools.partial(_flash_kernel, t_real=T))
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, t_real=T),
+        kernel,
         grid=(B * H, n_q),
         in_specs=[
             pl.BlockSpec((1, q_tile, D), lambda b, i: (b, i, 0),
