@@ -112,3 +112,32 @@ def test_perturb_vmappable():
     keys = jax.random.split(jax.random.PRNGKey(0), 8)
     out = jax.vmap(lambda k: perturb_texture(k, tex))(keys)
     assert out.shape == (8, 64, 64, 3)
+
+
+def test_bilinear_quad_gather_matches_naive_indexing():
+    """The channel-packed single-gather bilinear sample (TPU gather-count
+    optimization) must be bit-identical to naive 2-D advanced indexing,
+    including edge clamping."""
+    import jax.numpy as jnp
+    from vitvs_tpu.sim.scene import _bilinear_sample
+
+    r = np.random.default_rng(5)
+    tex = jnp.asarray(r.random((37, 29, 3)), jnp.float32)
+    rows = jnp.asarray(r.uniform(-1.5, 38.5, (50,)), jnp.float32)
+    cols = jnp.asarray(r.uniform(-1.5, 30.5, (50,)), jnp.float32)
+
+    def naive(tex, rows, cols):
+        ht, wt, _ = tex.shape
+        r0 = jnp.floor(rows); c0 = jnp.floor(cols)
+        fr = (rows - r0)[..., None]; fc = (cols - c0)[..., None]
+        r0 = jnp.clip(r0.astype(jnp.int32), 0, ht - 1)
+        c0 = jnp.clip(c0.astype(jnp.int32), 0, wt - 1)
+        r1 = jnp.clip(r0 + 1, 0, ht - 1)
+        c1 = jnp.clip(c0 + 1, 0, wt - 1)
+        top = tex[r0, c0] * (1 - fc) + tex[r0, c1] * fc
+        bot = tex[r1, c0] * (1 - fc) + tex[r1, c1] * fc
+        return top * (1 - fr) + bot * fr
+
+    got = np.asarray(_bilinear_sample(tex, rows, cols))
+    ref = np.asarray(naive(tex, rows, cols))
+    np.testing.assert_array_equal(got, ref)

