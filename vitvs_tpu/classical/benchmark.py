@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from vitvs_tpu.classical.pipeline import classical_servo_step, extract_goal_features
 from vitvs_tpu.harness import evals, results, samplers
 from vitvs_tpu.harness.pipeline import ServoModel
-from vitvs_tpu.harness.rollout import rollout_episode
 from vitvs_tpu.io_bridge.config import VSConfig
 from vitvs_tpu.sim import Scene, make_synthetic_poster, observe, perturb_texture
 
@@ -63,22 +62,89 @@ def run_classical_benchmark(
         textures = jax.vmap(lambda k: perturb_texture(k, scene.texture))(keys)
 
     # NOTE goal features and the scene are threaded as jit ARGUMENTS (closure
-    # captures are baked into the compile payload as constants)
-    def run_one(gf, sc, sp, sq, k):
+    # captures are baked into the compile payload as constants).  Rollouts
+    # run as host-chained SEGMENTS like harness/benchmark.py — one
+    # uninterrupted 1500-step program crashed the TPU worker through the
+    # tunnel (r2, sift at 640x480).
+    from vitvs_tpu.harness.rollout import (
+        episode_init, finalize_episode, rollout_segment)
+
+    T = num_steps or cfg.max_iterations
+    seg = max(1, min(250, T))
+    desired_p = jnp.asarray(samplers.DESIRED_POSITION, jnp.float32)
+    desired_q = jnp.asarray(samplers.DESIRED_ORIENTATION, jnp.float32)
+
+    def make_step_fn(gf):
         def step_fn(rgb, depth, ema, prev_v, key):
             return classical_servo_step(model, gf, rgb, depth, ema, prev_v,
                                         key, max_corners, method=method)
-        return rollout_episode(None, model, sc, None, sp, sq, k,
-                               num_steps=num_steps, step_fn=step_fn)
+        return step_fn
 
     @jax.jit
-    def run_batch(gf, sc, sps, sqs, ks):
-        return jax.vmap(lambda sp, sq, k: run_one(gf, sc, sp, sq, k))(sps, sqs, ks)
+    def init_chunk(sps, sqs, ks):
+        return jax.vmap(lambda sp, sq, k: episode_init(
+            sp, sq, k, desired_p, desired_q))(sps, sqs, ks)
+
+    _seg_cache: dict = {}
+
+    def seg_fns(nsteps: int):
+        if nsteps not in _seg_cache:
+            @jax.jit
+            def notx(gf, sc, carry):
+                return jax.vmap(lambda c: rollout_segment(
+                    None, model, sc, None, c, nsteps, desired_p, desired_q,
+                    make_step_fn(gf)))(carry)
+
+            @jax.jit
+            def tx(gf, sc, txs, carry):
+                return jax.vmap(lambda t, c: rollout_segment(
+                    None, model, sc._replace(texture=t), None, c, nsteps,
+                    desired_p, desired_q, make_step_fn(gf)))(txs, carry)
+
+            _seg_cache[nsteps] = (notx, tx)
+        return _seg_cache[nsteps]
 
     @jax.jit
-    def run_batch_tx(gf, sc, txs, sps, sqs, ks):
-        return jax.vmap(lambda tx, sp, sq, k: run_one(
-            gf, sc._replace(texture=tx), sp, sq, k))(txs, sps, sqs, ks)
+    def finalize_chunk(carry, ys):
+        return jax.vmap(lambda c, y: finalize_episode(
+            c, y, desired_p, desired_q))(carry, ys)
+
+    def run_chunk(txs, sps, sqs, ks):
+        carry = init_chunk(sps, sqs, ks)
+        ys_parts = []
+        done = 0
+        while done < T:
+            nsteps = min(seg, T - done)
+            fn_notx, fn_tx = seg_fns(nsteps)
+            if txs is None:
+                carry, ys = fn_notx(goal_feats, scene, carry)
+            else:
+                carry, ys = fn_tx(goal_feats, scene, txs, carry)
+            ys_parts.append(ys)
+            done += nsteps
+            if done < T and bool(np.all(np.asarray(carry.conv.done
+                                                   | carry.aborted))):
+                # all-frozen fast-forward (see harness/benchmark.py)
+                rest = T - done
+                last = jax.tree.map(lambda a: np.asarray(a)[:, -1], ys)
+
+                def tile(a):
+                    return jnp.asarray(np.broadcast_to(
+                        a[:, None], (a.shape[0], rest) + a.shape[1:]))
+
+                nchunk = last["position"].shape[0]
+                ys_parts.append({
+                    "position": tile(last["position"]),
+                    "quat": tile(last["quat"]),
+                    "v_c": jnp.zeros((nchunk, rest, 6), jnp.float32),
+                    "twist": jnp.zeros((nchunk, rest, 6), jnp.float32),
+                    "err": tile(last["err"]),
+                    "active": jnp.zeros((nchunk, rest), bool),
+                })
+                done = T
+        full_ys = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=1),
+                               *ys_parts)
+        return finalize_chunk(carry, full_ys)
 
     episodes = []
     for lo in range(0, n, chunk):
@@ -93,12 +159,8 @@ def run_classical_benchmark(
 
         # keys from the absolute episode index: chunk-size invariant
         keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk))
-        if textures is None:
-            batch = run_batch(goal_feats, scene, padded(positions),
-                              padded(quats), keys)
-        else:
-            batch = run_batch_tx(goal_feats, scene, padded(textures),
-                                 padded(positions), padded(quats), keys)
+        txs = None if textures is None else padded(textures)
+        batch = run_chunk(txs, padded(positions), padded(quats), keys)
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
