@@ -37,9 +37,12 @@ import numpy as np
 
 from vitvs_tpu.classical.features import (
     _bilinear,
+    _bilinear_packed,
     _blur,
     detect_corners,
     gradients,
+    pack_quad,
+    top_k_scores,
 )
 
 
@@ -174,6 +177,10 @@ def mldb_descriptor(img: jnp.ndarray, uv: jnp.ndarray, theta: jnp.ndarray,
     (intensity, gx, gy); bits = all pairwise comparisons per grid per
     channel -> 6*3 + 36*3 + 120*3 = 486 bits."""
     gx, gy = gradients(img)
+    # (img, gx, gy) sampled at identical coords: pack once, ONE gather per
+    # sample point instead of 12 (see features.pack_quad)
+    quad = pack_quad(img, gx, gy)
+    hw = img.shape
     off = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples - 0.5
     oy, ox = jnp.meshgrid(off, off, indexing="ij")  # in [-0.5, 0.5)
     scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (uv.shape[0],))
@@ -192,11 +199,8 @@ def mldb_descriptor(img: jnp.ndarray, uv: jnp.ndarray, theta: jnp.ndarray,
         ext = patch * sc
         rx = (c * ox - s * oy) * ext
         ry = (s * ox + c * oy) * ext
-        vals = jnp.stack([
-            _bilinear(img, pt[1] + ry, pt[0] + rx),
-            _bilinear(gx, pt[1] + ry, pt[0] + rx),
-            _bilinear(gy, pt[1] + ry, pt[0] + rx),
-        ], axis=-1)  # (samples, samples, 3)
+        vals = _bilinear_packed(quad, hw, pt[1] + ry, pt[0] + rx)
+        # (samples, samples, 3) = (intensity, gx, gy)
         bits = []
         for g, (ia, ib) in zip(grids, pairs):
             cell = (jnp.arange(samples) * g) // samples
@@ -238,7 +242,7 @@ def akaze_features(img: jnp.ndarray, max_keypoints: int = 512,
                   & (cols >= border) & (cols < W - border))
         score = jnp.where((resp >= rmax) & (resp > quality * jnp.max(resp))
                           & inside, resp, -jnp.inf)
-        top, idx = jax.lax.top_k(score.reshape(-1), per)
+        top, idx = top_k_scores(score.reshape(-1), per)
         uv = jnp.stack([(idx % W).astype(jnp.float32),
                         (idx // W).astype(jnp.float32)], axis=-1)
         valid = jnp.isfinite(top)

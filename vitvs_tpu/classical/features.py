@@ -87,6 +87,20 @@ class Corners(NamedTuple):
     valid: jnp.ndarray    # (K,) bool
 
 
+def top_k_scores(flat: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(values, indices) of the k best scores.
+
+    On TPU uses `lax.approx_max_k` — the hardware-native partial reduction
+    (deterministic, ~0.95 recall of the exact set) — instead of the
+    sort-based exact `top_k` (a full bitonic sort of the 307k-pixel score
+    map per frame).  Detection quality is threshold-soft, so which of two
+    near-equal corners fills the last slots is immaterial; exact top_k
+    off-TPU keeps tests reproducible."""
+    if jax.default_backend() == "tpu":
+        return jax.lax.approx_max_k(flat, k)
+    return jax.lax.top_k(flat, k)
+
+
 def detect_corners(img: jnp.ndarray, max_corners: int = 512,
                    quality: float = 0.01, border: int = 8) -> Corners:
     """Harris + 3x3 NMS + top-K (a fixed-shape `goodFeaturesToTrack`)."""
@@ -102,7 +116,7 @@ def detect_corners(img: jnp.ndarray, max_corners: int = 512,
               & (cols >= border) & (cols < w - border))
     score = jnp.where(is_peak & inside, r, -jnp.inf)
     flat = score.reshape(-1)
-    top, idx = jax.lax.top_k(flat, max_corners)
+    top, idx = top_k_scores(flat, max_corners)
     v = idx // w
     u = idx % w
     return Corners(
@@ -112,22 +126,44 @@ def detect_corners(img: jnp.ndarray, max_corners: int = 512,
     )
 
 
-def _bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    h, w = img.shape
+def pack_quad(*maps: jnp.ndarray) -> jnp.ndarray:
+    """Pack C maps' 2x2 bilinear neighborhoods into channels: (H*W, 4C).
+
+    TPU gathers cost ~14 cycles per fetched ROW regardless of row width, so
+    packing the quad corners (and multiple maps sampled at the same
+    coordinates) into channels turns 4C gathers per sample into ONE (the
+    same trick as sim/scene._bilinear_sample).  Build once per image; XLA
+    hoists it out of vmapped/scanned sampling loops as loop-invariant."""
+    stk = jnp.stack(maps, axis=-1)                       # (H, W, C)
+    tp = jnp.pad(stk, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    quad = jnp.concatenate(
+        [tp[:-1, :-1], tp[:-1, 1:], tp[1:, :-1], tp[1:, 1:]], axis=-1)
+    return quad.reshape(-1, 4 * len(maps))               # rows: H*W
+
+
+def _bilinear_packed(quad: jnp.ndarray, hw: tuple[int, int],
+                     ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample a pack_quad() image at continuous coords -> (..., C).
+
+    Bit-identical to per-map 2-D advanced indexing with edge clamping."""
+    h, w = hw
+    c4 = quad.shape[-1]
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
-    fy = ys - y0
-    fx = xs - x0
+    fy = (ys - y0)[..., None]
+    fx = (xs - x0)[..., None]
     y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    v00 = img[y0, x0]
-    v01 = img[y0, x1]
-    v10 = img[y1, x0]
-    v11 = img[y1, x1]
+    q = jnp.take(quad, y0 * w + x0, axis=0)              # (..., 4C): one gather
+    c = c4 // 4
+    v00, v01, v10, v11 = (q[..., 0:c], q[..., c:2 * c],
+                          q[..., 2 * c:3 * c], q[..., 3 * c:4 * c])
     return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
             + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
+def _bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    return _bilinear_packed(pack_quad(img), img.shape, ys, xs)[..., 0]
 
 
 @functools.partial(jax.jit, static_argnames=("num_angle_bins", "grid", "bins",
@@ -149,6 +185,10 @@ def sift_like_descriptors(
     gx, gy = gradients(img)
     mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+    # (mag, ang) packed: ONE gather per sample point instead of 8 (TPU
+    # gathers cost per fetched row — see pack_quad)
+    quad = pack_quad(mag, ang)
+    hw = img.shape
 
     half = window / 2.0
     # sampling offsets (window x window), centred
@@ -161,12 +201,15 @@ def sift_like_descriptors(
         u, v = pt[0], pt[1]
         oy_, ox_ = oy * sc, ox * sc
         # --- dominant orientation from an axis-aligned window
-        m = _bilinear(mag, v + oy_, u + ox_)
-        a = _bilinear(ang, v + oy_, u + ox_)
+        ma = _bilinear_packed(quad, hw, v + oy_, u + ox_)
+        m, a = ma[..., 0], ma[..., 1]
         hist_idx = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * num_angle_bins)
         hist_idx = jnp.clip(hist_idx, 0, num_angle_bins - 1).astype(jnp.int32)
-        ohist = jnp.zeros(num_angle_bins).at[hist_idx.reshape(-1)].add(
-            (m * gauss).reshape(-1))
+        # histogram as a one-hot reduction: TPU scatter-add serializes, an
+        # iota-compare + weighted sum is a pair of vector passes
+        onehot = (hist_idx.reshape(-1, 1)
+                  == jnp.arange(num_angle_bins)[None, :])
+        ohist = jnp.sum(onehot * (m * gauss).reshape(-1, 1), axis=0)
         theta = (jnp.argmax(ohist).astype(jnp.float32) + 0.5) / num_angle_bins
         theta = theta * 2 * jnp.pi - jnp.pi
 
@@ -174,8 +217,9 @@ def sift_like_descriptors(
         c, s = jnp.cos(theta), jnp.sin(theta)
         rx = (c * ox - s * oy) * sc
         ry = (s * ox + c * oy) * sc
-        m = _bilinear(mag, v + ry, u + rx)
-        a = _bilinear(ang, v + ry, u + rx) - theta  # gradient angles re-referenced
+        ma = _bilinear_packed(quad, hw, v + ry, u + rx)
+        m = ma[..., 0]
+        a = ma[..., 1] - theta  # gradient angles re-referenced
 
         # --- 4x4 spatial cells x 8 orientation bins
         cell = window // grid
@@ -188,11 +232,13 @@ def sift_like_descriptors(
         b0i = jnp.mod(b0.astype(jnp.int32), bins)
         b1i = jnp.mod(b0i + 1, bins)
         wgt = (m * gauss).reshape(-1)
-        flat0 = (cell_idx * bins + b0i).reshape(-1)
-        flat1 = (cell_idx * bins + b1i).reshape(-1)
-        desc = (jnp.zeros(grid * grid * bins)
-                .at[flat0].add(wgt * (1 - frac.reshape(-1)))
-                .at[flat1].add(wgt * frac.reshape(-1)))
+        d = grid * grid * bins
+        slots = jnp.arange(d)[None, :]
+        flat0 = (cell_idx * bins + b0i).reshape(-1, 1)
+        flat1 = (cell_idx * bins + b1i).reshape(-1, 1)
+        # two one-hot weighted sums replace the double scatter-add
+        desc = (jnp.sum((flat0 == slots) * (wgt * (1 - frac.reshape(-1)))[:, None], axis=0)
+                + jnp.sum((flat1 == slots) * (wgt * frac.reshape(-1))[:, None], axis=0))
 
         # SIFT normalization: L2, clip 0.2, L2
         desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)

@@ -28,7 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from vitvs_tpu.classical.features import _blur, sift_like_descriptors
+from vitvs_tpu.classical.features import (_blur, sift_like_descriptors,
+                                          top_k_scores)
 
 SIGMA0 = 1.6
 
@@ -142,7 +143,7 @@ def sift_features(
 
         S, h, w = score.shape
         flat = score.reshape(-1)
-        top, idx = jax.lax.top_k(flat, per_oct)
+        top, idx = top_k_scores(flat, per_oct)
         lvl = idx // (h * w)
         yy = (idx % (h * w)) // w
         xx = idx % w
