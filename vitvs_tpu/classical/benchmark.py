@@ -70,7 +70,12 @@ def run_classical_benchmark(
         episode_init, finalize_episode, rollout_segment)
 
     T = num_steps or cfg.max_iterations
-    seg = max(1, min(250, T))
+    # 64-step segments: the akaze/orb steps are ~50 ms/env on device, so a
+    # 250-step x 8-env segment is ~100 s of uninterrupted device time —
+    # enough to trip the worker watchdog through the tunnel (measured r2:
+    # 250-step akaze segments crash the worker, 50-step segments run fine;
+    # sift at ~20 ms/env survives either way)
+    seg = max(1, min(64, T))
     desired_p = jnp.asarray(samplers.DESIRED_POSITION, jnp.float32)
     desired_q = jnp.asarray(samplers.DESIRED_ORIENTATION, jnp.float32)
 
