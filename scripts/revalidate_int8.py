@@ -57,8 +57,11 @@ def main():
     positions, quats = generate_episode_starts(cfg)[:2]
     positions, quats = positions[: args.views], quats[: args.views]
 
-    goal_pos = jnp.asarray(cfg.desired_position, jnp.float32)
-    goal_quat = jnp.asarray(cfg.desired_orientation, jnp.float32)
+    from vitvs_tpu.harness.samplers import (DESIRED_ORIENTATION,
+                                            DESIRED_POSITION)
+
+    goal_pos = jnp.asarray(DESIRED_POSITION, jnp.float32)
+    goal_quat = jnp.asarray(DESIRED_ORIENTATION, jnp.float32)
 
     @jax.jit
     def render_view(scene, pos, quat):
