@@ -28,7 +28,7 @@ def run_classical_benchmark(
     perturbation: bool = False,
     chunk: int = 8,
     num_steps: int | None = None,
-    max_corners: int = 512,
+    max_corners: int | None = None,
     seed: int = 41,
     perturb_seed: int = 489,
     save: bool = True,
@@ -41,13 +41,17 @@ def run_classical_benchmark(
                               compute_dtype=jnp.float32)
     model = ServoModel(vit=model.vit, cfg=cfg, compute_dtype=jnp.float32)
     scene = scene or Scene.create(make_synthetic_poster(512, seed=0))
-    if method == "orb" and max_corners == 512:
-        max_corners = 1000   # cv2.ORB_create(nfeatures=1000), ibvs_standard.py:341
-    if method == "sift" and max_corners == 512:
-        # cv2.SIFT has no feature cap; DoG top-K needs enough slots that the
-        # two views' keypoint sets overlap (measured r2: top-24-by-distance
-        # inlier rate 0.23 at K=384 -> 0.71 at K=1152 on the poster scene)
-        max_corners = 1152
+    if max_corners is None:
+        if method == "orb":
+            max_corners = 1000  # cv2.ORB_create(nfeatures=1000), ibvs_standard.py:341
+        elif method == "sift":
+            # cv2.SIFT has no feature cap; DoG top-K needs enough slots that
+            # the two views' keypoint sets overlap (measured r2:
+            # top-24-by-distance inlier rate 0.23 at K=384 -> 0.71 at K=1152
+            # on the poster scene)
+            max_corners = 1152
+        else:
+            max_corners = 512
 
     positions, quats, n = samplers.generate_episode_starts(cfg, seed=seed)
 

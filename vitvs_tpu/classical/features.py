@@ -87,16 +87,22 @@ class Corners(NamedTuple):
     valid: jnp.ndarray    # (K,) bool
 
 
-def top_k_scores(flat: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def top_k_scores(flat: jnp.ndarray, k: int,
+                 approx: bool | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(values, indices) of the k best scores.
 
-    On TPU uses `lax.approx_max_k` — the hardware-native partial reduction
-    (deterministic, ~0.95 recall of the exact set) — instead of the
-    sort-based exact `top_k` (a full bitonic sort of the 307k-pixel score
-    map per frame).  Detection quality is threshold-soft, so which of two
-    near-equal corners fills the last slots is immaterial; exact top_k
-    off-TPU keeps tests reproducible."""
-    if jax.default_backend() == "tpu":
+    `approx=None` (default) selects `lax.approx_max_k` on TPU — the
+    hardware-native partial reduction (deterministic, ~0.95 recall of the
+    exact set) — instead of the sort-based exact `top_k` (a full bitonic
+    sort of the 307k-pixel score map per frame).  Detection quality is
+    threshold-soft, so which of two near-equal corners fills the last slots
+    is immaterial (tests/test_classical.py bounds the quality impact of
+    0.95-recall detection); exact top_k off-TPU keeps tests reproducible.
+    Pass approx=True/False to pin the choice regardless of backend
+    (approx_max_k lowers to the exact reduction off-TPU)."""
+    if approx is None:
+        approx = jax.default_backend() == "tpu"
+    if approx:
         return jax.lax.approx_max_k(flat, k)
     return jax.lax.top_k(flat, k)
 

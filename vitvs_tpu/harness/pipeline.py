@@ -192,6 +192,10 @@ def servo_step(
                                               int8=model.quantized)
     match = find_correspondences(
         goal_desc, cur_desc, grid, k, key,
+        # config key the reference loads (vitvs_v2.py:293) but never passes —
+        # find_correspondences_batch always gets the default 1.0; threading it
+        # here makes the knob live (default identical)
+        distance_threshold=cfg.thresh_filter_keypoints,
         precision=model.precision, use_kernel=model.use_match_kernel,
         int8=model.quantized,  # int8 serving quantizes the match matmul too
         sim_matrix=sim_matrix,

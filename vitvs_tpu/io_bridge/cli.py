@@ -20,12 +20,16 @@ import argparse
 import os
 import sys
 
+# every non-dino method runs the classical controller and inherits its abort
+# semantics (5x divergence abort, ibvs_standard.py:215); 'classical' aliases
+# sift for r1 compatibility
+CLASSICAL_METHODS = ("classical", "sift", "orb", "akaze", "harris")
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU-native ViT-VS benchmark")
     p.add_argument("--method", default="dino",
-                   choices=["dino", "classical", "sift", "orb", "akaze",
-                            "harris"],
+                   choices=["dino", *CLASSICAL_METHODS],
                    help="feature pipeline: dino = ViT descriptors; sift = DoG"
                         " scale-space + 128-d L2; orb = steered BRIEF binary;"
                         " akaze = nonlinear scale space + M-LDB binary;"
@@ -54,7 +58,7 @@ def main(argv=None):
     cfg = load_config(args.config) if args.config else VSConfig()
     if args.num_samples:
         cfg = cfg.replace(num_samples=args.num_samples)
-    if args.method in ("classical", "sift", "orb", "akaze"):
+    if args.method in CLASSICAL_METHODS:
         # classical controller uses the 5x divergence abort (ibvs_standard.py:215)
         cfg = cfg.replace(divergence_multiplier=5.0, early_divergence_abort=True)
 

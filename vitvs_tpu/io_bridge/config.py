@@ -27,13 +27,20 @@ class VSConfig:
     # Control (reference config.yaml:3-10, vitvs_v2.py:286-291)
     lambda_: float = 0.03
     max_velocity: float = 1.0
+    # min_error / max_error are INERT by reference parity: loaded at
+    # vitvs_v2.py:288-289 and never read again anywhere in the controller
     min_error: float = 100.0
     max_error: float = 70000.0
     num_pairs: int = 24
 
     # DINO feature detection (reference config.yaml:13-17)
     dino_input_size: int = 308
+    # INERT (reference parity): loaded at vitvs_v2.py:296, consumed only by
+    # extract_saliency_maps in a code path the controller never calls
     background_thresh: float = 0.005
+    # cyclical-distance eligibility threshold; the reference loads it
+    # (vitvs_v2.py:293) but always matches with the default 1.0 — here it is
+    # threaded live into find_correspondences (harness/pipeline.py)
     thresh_filter_keypoints: float = 1.0
     use_feature_binning: bool = True
 
@@ -45,7 +52,11 @@ class VSConfig:
     # rz_max = 120 deg in apply_z_axis_rotation, vitvs_v2.py:1295)
     rz_max_deg: float = 120.0
 
-    # Convergence (reference config.yaml:24-30)
+    # Convergence (reference config.yaml:24-30).  ALL SIX are INERT by
+    # reference parity: loaded at vitvs_v2.py:304-309 and never read — the
+    # decision ladder in is_visual_servoing_done hardcodes its constants
+    # (90% reduction, 1 cm/1 deg absolute, 1 mm/s & 0.1 deg/s window means;
+    # vitvs_v2.py:345-421), which control/convergence.py reproduces
     velocity_convergence_threshold: float = 0.00008
     velocity_threshold_translation: float = 5e-19
     velocity_threshold_rotation: float = 5e-19

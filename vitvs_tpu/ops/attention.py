@@ -63,7 +63,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
     ).astype(o_ref.dtype)
 
 
-def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad: int):
+def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
     """No-max, deferred-normalize softmax attention (serving mode).
 
     Measured r2 (interleaved A/B in the int8 ViT-B@518 servo step): 2.78 vs
@@ -78,9 +78,12 @@ def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad: int):
     (standard softmax needs max-reduce, subtract, exp, sum, divide):
 
     * no max subtraction;
-    * K/V are zero-padded: padded columns score exp(0) = 1 and multiply
-      zero V rows, so the ONLY correction is subtracting the constant
-      `n_pad` from the denominator — no iota mask, no select pass;
+    * padded K columns are zeroed out of the exp tile with an iota select
+      (r2 subtracted the constant `n_pad` from the denominator instead —
+      cheaper, but when a row's real exp-sum is small relative to n_pad
+      (all real logits strongly negative) the subtraction cancels
+      catastrophically in f32 and the row normalizes to inf/NaN; the mask
+      costs one select pass only when padding exists);
     * normalization is applied to the (TQ, D) output rows instead of the
       (TQ, TK) probability tile (21x fewer elements at D=64, T=1370).
     """
@@ -95,7 +98,10 @@ def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, n_pad: int):
     # VPU exp is exp2(x * log2e) — folding the multiply into the (TQ, D)
     # Q scale removes a full pass over the (TQ, TK) tile
     e = jnp.exp2(s)
-    denom = jnp.sum(e, axis=-1, keepdims=True) - float(n_pad)  # (TQ, 1)
+    if s.shape[-1] != t_real:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        e = jnp.where(col < t_real, e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)  # (TQ, 1)
     num = jax.lax.dot_general(
         e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -141,8 +147,8 @@ def mha_attention(
     vp = prep(v, tk_pad)
     n_q = tq_pad // q_tile
 
-    kernel = (functools.partial(_fast_kernel, n_pad=tk_pad - T) if fast
-              else functools.partial(_flash_kernel, t_real=T))
+    kernel = functools.partial(_fast_kernel if fast else _flash_kernel,
+                               t_real=T)
     out = pl.pallas_call(
         kernel,
         grid=(B * H, n_q),
