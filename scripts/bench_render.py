@@ -74,9 +74,9 @@ def main():
         t = (scene.plane_z - pos[2]) / jnp.where(
             jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
         pt = pos + t[..., None] * d_w
-        hs = scene.half_size
-        cols = (hs - pt[..., 1]) / (2 * hs) * (wt - 1)
-        rows = (hs - pt[..., 0]) / (2 * hs) * (ht - 1)
+        hs_x, hs_y = scene.half_size[0], scene.half_size[1]
+        cols = (hs_y - pt[..., 1]) / (2 * hs_y) * (wt - 1)
+        rows = (hs_x - pt[..., 0]) / (2 * hs_x) * (ht - 1)
         return rows, cols
 
     def idx_frac(rows, cols):

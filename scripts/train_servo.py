@@ -34,7 +34,9 @@ def main():
     ap.add_argument("--model", default="dinov2_vits14")
     ap.add_argument("--layer", type=int, default=11)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--poster", default=None, help="texture image (default synthetic)")
+    ap.add_argument("--poster", default=None,
+                    help="texture image, or 'synthetic' (default: the"
+                         " reference's real viso poster)")
     ap.add_argument("--perturb-prob", type=float, default=0.5)
     ap.add_argument("--resume", default=None, help="orbax checkpoint to start from")
     args = ap.parse_args()
@@ -47,19 +49,21 @@ def main():
     from vitvs_tpu.io_bridge.config import VSConfig
     from vitvs_tpu.models import vit as vit_mod
     from vitvs_tpu.models.convert import load_params, save_params
-    from vitvs_tpu.sim import Scene, make_synthetic_poster
+    from vitvs_tpu.sim import Scene, load_poster_scene, make_synthetic_poster
     from vitvs_tpu.train import TrainState
     from vitvs_tpu.train.finetune import make_servo_train_epoch, matching_quality
 
     cfg = VSConfig(dino_input_size=args.size, model_name=args.model,
                    layer=args.layer)
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
-    if args.poster:
+    if args.poster == "synthetic":
+        scene = Scene.create(make_synthetic_poster(512, seed=0))
+    elif args.poster:
         from vitvs_tpu.io_bridge.images import load_image
 
         scene = Scene.create(load_image(args.poster))
     else:
-        scene = Scene.create(make_synthetic_poster(512, seed=0))
+        scene = load_poster_scene()
 
     if args.resume:
         params = load_params(args.resume)

@@ -114,6 +114,51 @@ def test_perturb_vmappable():
     assert out.shape == (8, 64, 64, 3)
 
 
+def test_real_poster_scene_geometry():
+    """The packaged reference poster: 1500x1125 texture on the 0.8x0.6 m
+    mesh, top face at z=0.01 (resized.dae + ibvs.launch:21-22).  The goal
+    view must be fully on-poster at uniform 0.60 m depth."""
+    from vitvs_tpu.sim import load_poster_scene
+
+    scene = load_poster_scene()
+    assert scene.texture.shape == (1125, 1500, 3)
+    np.testing.assert_allclose(np.asarray(scene.half_size), [0.3, 0.4])
+    rgb, depth = render(scene, CAM, GOAL_POS, GOAL_QUAT)
+    d = np.asarray(depth)
+    np.testing.assert_allclose(d, 0.60, atol=5e-4)
+    img = np.asarray(rgb)
+    # no background anywhere: the poster covers the full goal view
+    assert not np.any(np.all(np.abs(img - 0.5) < 1e-7, axis=-1))
+
+
+def test_rectangular_poster_mapping():
+    """Rectangular half_size maps texture cols along world y and rows along
+    world x independently (corner texels land at the right world corners)."""
+    tex = np.zeros((8, 16, 3), np.float32)
+    tex[0, 0] = [1, 0, 0]      # row 0, col 0 -> world (+hs_x, +hs_y)
+    tex[-1, -1] = [0, 1, 0]    # row ht-1, col wt-1 -> world (-hs_x, -hs_y)
+    # extents chosen inside the camera FOV at z=0.61 (±0.38 m in y, ±0.28 in x)
+    scene = Scene.create(tex, half_size=(0.2, 0.35), plane_z=0.0)
+    z = 0.61
+    f = 502.3016357421875
+    rgb, _ = render(scene, CAM, GOAL_POS, GOAL_QUAT)
+    img = np.asarray(rgb)
+
+    def probe_world(x, y):
+        u = int(round(320 + f * (-y) / z))
+        v = int(round(240 + f * (-x) / z))
+        return img[v, u]
+
+    # near the (+x,+y) corner (texture row 0, col 0 = red)
+    c = probe_world(0.195, 0.345)
+    assert c[0] > 0.5 and c[1] < 0.3, c
+    c = probe_world(-0.195, -0.345)
+    assert c[1] > 0.5 and c[0] < 0.3, c
+    # off the poster in y but within a square of the x half-size -> background
+    c = probe_world(0.0, 0.37)
+    np.testing.assert_allclose(c, [0.5, 0.5, 0.5], atol=1e-6)
+
+
 def test_bilinear_quad_gather_matches_naive_indexing():
     """The channel-packed single-gather bilinear sample (TPU gather-count
     optimization) must be bit-identical to naive 2-D advanced indexing,

@@ -16,7 +16,7 @@ from vitvs_tpu.classical.pipeline import classical_servo_step, extract_goal_feat
 from vitvs_tpu.harness import evals, results, samplers
 from vitvs_tpu.harness.pipeline import ServoModel
 from vitvs_tpu.io_bridge.config import VSConfig
-from vitvs_tpu.sim import Scene, make_synthetic_poster, observe, perturb_texture
+from vitvs_tpu.sim import Scene, load_poster_scene, observe, perturb_texture
 
 
 def run_classical_benchmark(
@@ -40,7 +40,7 @@ def run_classical_benchmark(
     model = ServoModel.create(cfg.replace(model_name="dinov2_vits14"),
                               compute_dtype=jnp.float32)
     model = ServoModel(vit=model.vit, cfg=cfg, compute_dtype=jnp.float32)
-    scene = scene or Scene.create(make_synthetic_poster(512, seed=0))
+    scene = scene or load_poster_scene()   # the reference's real poster
     if max_corners is None:
         if method == "orb":
             max_corners = 1000  # cv2.ORB_create(nfeatures=1000), ibvs_standard.py:341

@@ -25,7 +25,8 @@ from vitvs_tpu.harness.pipeline import ServoModel, goal_descriptors
 from vitvs_tpu.harness.rollout import find_best_start_pose
 from vitvs_tpu.io_bridge.config import VSConfig
 from vitvs_tpu.models import vit as vit_mod
-from vitvs_tpu.sim import Scene, make_synthetic_poster, observe, perturb_texture
+from vitvs_tpu.sim import (Scene, load_poster_scene, make_synthetic_poster,
+                           observe, perturb_texture)
 
 
 def build_model(cfg: VSConfig, params=None, compute_dtype=jnp.bfloat16,
@@ -41,10 +42,14 @@ def build_model(cfg: VSConfig, params=None, compute_dtype=jnp.bfloat16,
     return params, model
 
 
-def build_scene(texture: np.ndarray | None = None, half_size: float = 0.42) -> Scene:
+def build_scene(texture: np.ndarray | None = None, half_size=None) -> Scene:
+    """Default: the reference's REAL benchmark scene (viso poster texture on
+    its 0.8 x 0.6 m mesh — the scene every published reference number is
+    measured on, ibvs.launch:21-22).  Pass a texture for custom scenes or
+    `make_synthetic_poster()` for the r1/r2 synthetic texture."""
     if texture is None:
-        texture = make_synthetic_poster(512, seed=0)
-    return Scene.create(texture, half_size=half_size)
+        return load_poster_scene()
+    return Scene.create(texture, half_size=0.42 if half_size is None else half_size)
 
 
 def run_benchmark(

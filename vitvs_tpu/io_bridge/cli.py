@@ -48,7 +48,9 @@ def main(argv=None):
     p.add_argument("--out", default=".", help="results output directory")
     p.add_argument("--chunk", type=int, default=8, help="vmap batch size")
     p.add_argument("--poster", default=None,
-                   help="image file for the poster texture (default: synthetic)")
+                   help="poster texture: an image file, or 'synthetic' for"
+                        " the procedural test poster (default: the"
+                        " reference's real viso poster on its real geometry)")
     p.add_argument("--resume", default=None,
                    help="episode checkpoint file for crash-resumable sweeps")
     args = p.parse_args(argv)
@@ -71,8 +73,12 @@ def main(argv=None):
     config_name = (os.path.splitext(os.path.basename(args.config))[0]
                    if args.config else "config")
 
-    scene = None
-    if args.poster:
+    scene = None   # None -> the benchmark drivers load the real poster scene
+    if args.poster == "synthetic":
+        from vitvs_tpu.sim import Scene, make_synthetic_poster
+
+        scene = Scene.create(make_synthetic_poster(512, seed=0))
+    elif args.poster:
         from vitvs_tpu.io_bridge.images import load_image
         from vitvs_tpu.sim import Scene
 

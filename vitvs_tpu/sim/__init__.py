@@ -1,10 +1,12 @@
-from vitvs_tpu.sim.scene import Scene, render, make_synthetic_poster
+from vitvs_tpu.sim.scene import (Scene, load_poster_scene,
+                                 make_synthetic_poster, render)
 from vitvs_tpu.sim.perturb import perturb_texture
 from vitvs_tpu.sim.env import observe, env_step
 
 __all__ = [
     "Scene",
     "render",
+    "load_poster_scene",
     "make_synthetic_poster",
     "perturb_texture",
     "observe",

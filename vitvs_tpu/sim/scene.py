@@ -32,19 +32,52 @@ from vitvs_tpu.core.camera import CameraIntrinsics
 
 class Scene(NamedTuple):
     texture: jnp.ndarray       # (Ht, Wt, 3) float32 in [0, 1]
-    half_size: jnp.ndarray     # () poster half-extent in meters (square)
+    half_size: jnp.ndarray     # (2,) poster half-extents in meters: (world-x
+    #                            = texture rows/image-down, world-y = texture
+    #                            cols/image-right at the goal view)
     plane_z: jnp.ndarray       # () poster plane height (reference: 0.005)
     background: jnp.ndarray    # (3,) color outside the poster
 
     @staticmethod
-    def create(texture, half_size: float = 0.42, plane_z: float = 0.005,
+    def create(texture, half_size=0.42, plane_z: float = 0.005,
                background=(0.5, 0.5, 0.5)) -> "Scene":
+        """`half_size` is a scalar (square poster) or an (hs_x, hs_y) pair
+        for rectangular posters like the reference's 0.6 m x 0.8 m viso
+        mesh (resized.dae positions: x in ±0.4, z in ±0.3, spawned R=90°
+        Y=90° so the long side lies along world y — ibvs.launch:21-22)."""
+        hs = jnp.asarray(half_size, jnp.float32)
+        if hs.ndim == 0:
+            hs = jnp.stack([hs, hs])
         return Scene(
             texture=jnp.asarray(texture, jnp.float32),
-            half_size=jnp.asarray(half_size, jnp.float32),
+            half_size=hs,
             plane_z=jnp.asarray(plane_z, jnp.float32),
             background=jnp.asarray(background, jnp.float32),
         )
+
+
+# the reference's actual benchmark scene: the viso poster texture
+# (catkin_ws/ibvs/models/viso/materials/textures/resized.png, 1500x1125)
+# on its 0.8 x 0.6 m mesh, top face at z = 0.01 (spawned at z=0.005 with
+# ±0.005 m thickness, ibvs.launch:21-22 + resized.dae)
+POSTER_ASSET = "poster_resized.png"
+POSTER_HALF_SIZE = (0.3, 0.4)   # (world-x, world-y) meters
+POSTER_PLANE_Z = 0.01
+
+
+def load_poster_scene(path: str | None = None,
+                      background=(0.5, 0.5, 0.5)) -> Scene:
+    """The reference's benchmark scene: its real poster texture on the real
+    mesh geometry.  `path` overrides the packaged copy of the texture."""
+    import os
+
+    from vitvs_tpu.io_bridge.images import load_image
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "assets", POSTER_ASSET)
+    return Scene.create(load_image(path), half_size=POSTER_HALF_SIZE,
+                        plane_z=POSTER_PLANE_Z, background=background)
 
 
 def make_synthetic_poster(size: int = 512, seed: int = 0,
@@ -128,14 +161,15 @@ def render(
     pt = position + t[..., None] * d_w              # (H, W, 3) world points
 
     ht, wt, _ = scene.texture.shape
-    hs = scene.half_size
+    hs_x = scene.half_size[0]
+    hs_y = scene.half_size[1]
     # poster upright in the goal view: image-right = -y, image-down = -x
-    cols = (hs - pt[..., 1]) / (2 * hs) * (wt - 1)
-    rows = (hs - pt[..., 0]) / (2 * hs) * (ht - 1)
+    cols = (hs_y - pt[..., 1]) / (2 * hs_y) * (wt - 1)
+    rows = (hs_x - pt[..., 0]) / (2 * hs_x) * (ht - 1)
     on_poster = (
         hit
-        & (jnp.abs(pt[..., 0]) <= hs)
-        & (jnp.abs(pt[..., 1]) <= hs)
+        & (jnp.abs(pt[..., 0]) <= hs_x)
+        & (jnp.abs(pt[..., 1]) <= hs_y)
     )
     rgb = _bilinear_sample(scene.texture, rows, cols)
     rgb = jnp.where(on_poster[..., None], rgb, scene.background)

@@ -80,8 +80,8 @@ def geometric_correspondences(
     world = pos_a + t_hit[:, None] * d_w
     hit = t_hit > 1e-6
     on_poster = (hit
-                 & (jnp.abs(world[:, 0]) <= scene.half_size)
-                 & (jnp.abs(world[:, 1]) <= scene.half_size))
+                 & (jnp.abs(world[:, 0]) <= scene.half_size[0])
+                 & (jnp.abs(world[:, 1]) <= scene.half_size[1]))
 
     # world -> view B pixel
     r_wb = se3.matrix_from_quat(quat_b) @ se3.R_BODY_FROM_OPTICAL
