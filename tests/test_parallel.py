@@ -72,6 +72,55 @@ def test_batch_servo_step_dp_tp(tiny):
     np.testing.assert_allclose(np.asarray(res.v_c), 0.0, atol=1e-3)
 
 
+def test_run_benchmark_mesh_matches_single_device(tiny, tmp_path):
+    """The flagship driver on a dp=8 mesh must reproduce the single-device
+    run: identical discrete outcomes (convergence flags), trajectories
+    within float-lowering tolerance.  Episode keys are absolute-index so
+    the EPISODE DEFINITIONS are identical; exact bitwise equality is not
+    achievable because sharded execution lowers to different XLA programs
+    (per-device batch 1 vs 8 tiles reductions differently, measured ~2e-6
+    position deltas over 8 steps).  Chunk-size bitwise invariance under the
+    SAME lowering is asserted in test_harness."""
+    from vitvs_tpu.harness.benchmark import run_benchmark
+
+    params, model, scene, *_ = tiny
+    cfg = model.cfg.replace(num_samples=4, num_circles=2)
+    common = dict(params=params, model=model, scene=scene,
+                  out_dir=str(tmp_path), rotation_search=True,
+                  num_steps=8, verbose=False, save=False)
+    _, _, single = run_benchmark(cfg, config_name="one", chunk=4, **common)
+    mesh = make_mesh(8, tp=1)
+    _, _, meshed = run_benchmark(cfg, config_name="mesh", chunk=4, mesh=mesh,
+                                 **common)
+    np.testing.assert_array_equal(single["convergence_flags"],
+                                  meshed["convergence_flags"])
+    np.testing.assert_allclose(
+        np.asarray(single["final_positions"], np.float64),
+        np.asarray(meshed["final_positions"], np.float64), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray([np.asarray(v) for v in single["all_applied_velocity_x"]]),
+        np.asarray([np.asarray(v) for v in meshed["all_applied_velocity_x"]]),
+        atol=1e-4)
+
+
+def test_run_benchmark_tensor_parallel_close(tiny, tmp_path):
+    """tp=2 changes matmul reduction order; the closed loop must still land
+    within float tolerance of the single-device run over a short horizon."""
+    from vitvs_tpu.harness.benchmark import run_benchmark
+
+    params, model, scene, *_ = tiny
+    cfg = model.cfg.replace(num_samples=2, num_circles=1)
+    common = dict(params=params, model=model, scene=scene,
+                  out_dir=str(tmp_path), rotation_search=False,
+                  num_steps=6, verbose=False, save=False)
+    _, _, single = run_benchmark(cfg, config_name="one", chunk=2, **common)
+    _, _, meshed = run_benchmark(cfg, config_name="tp", chunk=2,
+                                 mesh=make_mesh(8, tp=2), **common)
+    np.testing.assert_allclose(
+        np.asarray(single["final_positions"], np.float64),
+        np.asarray(meshed["final_positions"], np.float64), atol=1e-4)
+
+
 def test_sharded_batch_rollout(tiny):
     params, model, scene, goal_rgb, GOAL_POS, GOAL_QUAT = tiny
     mesh = make_mesh(8, tp=1)  # pure dp

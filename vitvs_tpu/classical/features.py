@@ -264,7 +264,8 @@ class Matches(NamedTuple):
 
 def match_descriptors(desc1: jnp.ndarray, desc2: jnp.ndarray,
                       valid1: jnp.ndarray, valid2: jnp.ndarray,
-                      num_pairs: int, norm: str = "l2") -> Matches:
+                      num_pairs: int, norm: str = "l2",
+                      ratio: float | None = None) -> Matches:
     """Brute-force mutual-NN (crossCheck) matching, sorted by distance,
     top `num_pairs` — BFMatcher(norm, crossCheck=True).match + sort
     (ibvs_standard.py:361-391).
@@ -272,7 +273,17 @@ def match_descriptors(desc1: jnp.ndarray, desc2: jnp.ndarray,
     norm='l2' for float descriptors (SIFT); norm='hamming' for binary {0,1}
     int8 descriptors (ORB/AKAZE, NORM_HAMMING at ibvs_standard.py:341-345).
     The Hamming distance runs as ONE int8 MXU matmul via
-    ``H(a, b) = |a| + |b| - 2 a.b`` for 0/1 vectors."""
+    ``H(a, b) = |a| + |b| - 2 a.b`` for 0/1 vectors.
+
+    `ratio` adds Lowe's ambiguity test on top of the cross-check: a match
+    survives only if best < ratio * second-best distance.  The reference's
+    literal recipe is crossCheck-only, but its cv2 detector delivers ~98%
+    inlier top-24 selections on the benchmark scene where this from-scratch
+    detector delivers ~90% — and the closed loop is only stable near the
+    former (persistent deterministic outliers bias the LS solve every frame
+    and compound through the IBVS retreat transient; measured r3, see
+    scripts/diag_gtloop.py).  ratio=0.7 restores 0.99 mean / 0.96 min
+    inlier at >=11 surviving pairs on the episode-start distribution."""
     big = jnp.float32(3e38)
     if norm == "hamming":
         a = desc1.astype(jnp.int8)
@@ -286,11 +297,20 @@ def match_descriptors(desc1: jnp.ndarray, desc2: jnp.ndarray,
         d2 = (jnp.sum(desc1 ** 2, 1)[:, None] + jnp.sum(desc2 ** 2, 1)[None, :]
               - 2.0 * desc1 @ desc2.T)
     d2 = jnp.where(valid1[:, None] & valid2[None, :], jnp.maximum(d2, 0.0), big)
-    nn12 = jnp.argmin(d2, axis=1)
+    if ratio is not None:
+        neg2, idx2 = jax.lax.top_k(-d2, 2)
+        best, second = -neg2[:, 0], -neg2[:, 1]
+        nn12 = idx2[:, 0]
+        # l2 distances are squared here, so the ratio squares too
+        thresh = (ratio * ratio if norm != "hamming" else ratio) * second
+        unambiguous = best < thresh
+    else:
+        nn12 = jnp.argmin(d2, axis=1)
+        best = jnp.min(d2, axis=1)
+        unambiguous = jnp.ones(desc1.shape[0], bool)
     nn21 = jnp.argmin(d2, axis=0)
     k1 = jnp.arange(desc1.shape[0])
-    mutual = (nn21[nn12] == k1) & valid1 & (jnp.min(d2, axis=1) < big)
-    best = jnp.min(d2, axis=1)
+    mutual = (nn21[nn12] == k1) & valid1 & (best < big) & unambiguous
     dist = jnp.where(mutual, best if norm == "hamming" else jnp.sqrt(best), big)
     order_d, order_i = jax.lax.top_k(-dist, min(num_pairs, dist.shape[0]))
     sel_dist = -order_d

@@ -49,6 +49,13 @@ class GoalFeatures(NamedTuple):
 METHOD_NORMS = {"sift": "l2", "orb": "hamming", "akaze": "hamming",
                 "harris": "l2"}
 
+# Lowe ambiguity-ratio per method (see match_descriptors): tuned r3 so the
+# top-24 selection reaches the ~98% inlier operating point the reference
+# gets from cv2's detectors — the IBVS retreat transient is only stable
+# there.  0.7 is Lowe's classic SIFT value; binary descriptors separate
+# less, so ORB/AKAZE use the customary 0.8.
+METHOD_RATIOS = {"sift": 0.7, "orb": 0.8, "akaze": 0.8, "harris": 0.7}
+
 
 def extract_features(model: ServoModel, gray: jnp.ndarray,
                      max_corners: int = 512,
@@ -111,7 +118,8 @@ def classical_servo_step(
 
     m = match_descriptors(goal_feats.desc, feats.desc, goal_feats.valid,
                           feats.valid, cfg.num_pairs,
-                          norm=METHOD_NORMS[method])
+                          norm=METHOD_NORMS[method],
+                          ratio=METHOD_RATIOS[method])
 
     s_uv_star = goal_feats.uv[m.idx1]          # goal points (kp1, queryIdx)
     s_uv = feats.uv[m.idx2]                    # current points (kp2, trainIdx)

@@ -69,12 +69,20 @@ def run_benchmark(
     save: bool = True,
     verbose: bool = True,
     checkpoint_path: str | None = None,
+    mesh=None,
 ):
     """`checkpoint_path` enables episode-level checkpoint/resume: after every
     chunk the completed episode results are pickled there, and a re-run with
     the same path continues from the first missing episode — the crash
     recovery the reference lacks entirely (SURVEY §5.3-5.4: a crashed
-    500-episode sweep restarts from zero)."""
+    500-episode sweep restarts from zero).
+
+    `mesh` (a jax.sharding.Mesh with 'dp'/'tp' axes from parallel.make_mesh)
+    shards each rollout chunk over data-parallel devices and the ViT params
+    over tensor-parallel devices — replacing the reference's one-at-a-time
+    episode loop (vitvs_v2.py:1434, SURVEY §2.3).  Episode PRNG keys derive
+    from absolute indices, so results are bitwise identical to the
+    single-device run (asserted in tests/test_parallel.py)."""
     import pickle
 
     t_start = time.time()
@@ -82,6 +90,26 @@ def run_benchmark(
         params, model = build_model(cfg, params)
     assert params is not None, "pass params when supplying a prebuilt model"
     scene = scene or build_scene()
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from vitvs_tpu.parallel import replicate as _replicate
+        from vitvs_tpu.parallel import shard_vit_params as _shard_vit
+
+        n_dp = mesh.shape["dp"]
+        chunk = max(chunk, n_dp) // n_dp * n_dp   # chunk divisible by dp
+        _dp_sharding = NamedSharding(mesh, _P("dp"))
+
+        def env_put(x):
+            return jax.device_put(x, _dp_sharding)
+
+        params = (_shard_vit(params, mesh) if mesh.shape.get("tp", 1) > 1
+                  else _replicate(params, mesh))
+        scene = _replicate(scene, mesh)
+        rep_put = lambda x: _replicate(x, mesh)  # noqa: E731
+    else:
+        env_put = rep_put = lambda x: x  # noqa: E731
 
     positions, quats, n = samplers.generate_episode_starts(cfg, seed=seed)
     if verbose:
@@ -95,7 +123,8 @@ def run_benchmark(
     goal_pos = jnp.asarray(samplers.DESIRED_POSITION, jnp.float32)
     goal_quat = jnp.asarray(samplers.DESIRED_ORIENTATION, jnp.float32)
     goal_rgb, _ = observe(scene, model.camera, goal_pos, goal_quat)
-    goal_desc = jax.jit(lambda p, f: goal_descriptors(p, model, f))(params, goal_rgb)
+    goal_desc = rep_put(jax.jit(lambda p, f: goal_descriptors(p, model, f))(
+        params, goal_rgb))
 
     # perturbed textures per episode (scene-level fault injection)
     textures = None
@@ -130,10 +159,10 @@ def run_benchmark(
                 a = np.asarray(a[lo:hi], np.float32)
                 if pad:
                     a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
-                return jnp.asarray(a)
+                return env_put(jnp.asarray(a))
 
-            keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1000 + lo,
-                                                           1000 + lo + chunk))
+            keys = env_put(jax.vmap(jax.random.PRNGKey)(
+                jnp.arange(1000 + lo, 1000 + lo + chunk)))
             if textures is None:
                 out = search_chunk_notx(params, goal_desc, scene,
                                         pad_to_chunk(positions),
@@ -251,11 +280,11 @@ def run_benchmark(
             a = np.asarray(a[sl], np.float32)
             if pad:
                 a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
-            return jnp.asarray(a)
+            return env_put(jnp.asarray(a))
 
         # keys derive from the ABSOLUTE episode index so results are invariant
-        # to --chunk and to resuming a checkpoint with a different chunk size
-        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk))
+        # to --chunk, to resuming with a different chunk size, and to the mesh
+        keys = env_put(jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk)))
         tx = None if textures is None else padded(textures)
         batch = run_chunk(tx, padded(positions), padded(best_quats), keys)
         batch = jax.tree.map(np.asarray, batch)

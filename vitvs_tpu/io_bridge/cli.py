@@ -53,6 +53,12 @@ def main(argv=None):
                         " reference's real viso poster on its real geometry)")
     p.add_argument("--resume", default=None,
                    help="episode checkpoint file for crash-resumable sweeps")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard rollout chunks over all devices (dp x tp mesh;"
+                        " results are bitwise identical to single-device)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree for the ViT params (with"
+                        " --mesh; use for ViT-L+ models)")
     args = p.parse_args(argv)
 
     from vitvs_tpu.io_bridge.config import VSConfig, load_config
@@ -84,6 +90,12 @@ def main(argv=None):
 
         scene = Scene.create(load_image(args.poster))
 
+    mesh = None
+    if args.mesh:
+        from vitvs_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+
     if args.method == "dino":
         from vitvs_tpu.harness.benchmark import run_benchmark
 
@@ -93,7 +105,7 @@ def main(argv=None):
             perturbation=args.perturbation,
             rotation_search=not args.no_rotation_search,
             chunk=args.chunk, num_steps=args.num_steps,
-            checkpoint_path=args.resume,
+            checkpoint_path=args.resume, mesh=mesh,
         )
     else:
         from vitvs_tpu.classical.benchmark import run_classical_benchmark
