@@ -248,3 +248,46 @@ def test_subpixel_refinement_bounded():
     assert sel.sum() > 0
     assert np.abs(np.asarray(ox)[sel]).max() <= 0.5 + 1e-6
     assert np.abs(np.asarray(oy)[sel]).max() <= 0.5 + 1e-6
+
+
+def test_detection_quality_robust_to_approx_topk_recall():
+    """The TPU default detector uses lax.approx_max_k (~0.95 recall of the
+    exact top-K; classical/features.top_k_scores).  CPU lowers approx_max_k
+    to the exact reduction, so this test bounds the CLAIM instead: dropping
+    a random 5% of detected corners (emulating 0.95 recall) must not
+    degrade the top-24 match set below the closed-loop operating point."""
+    from vitvs_tpu.classical.features import grayscale, match_descriptors
+    from vitvs_tpu.classical.pipeline import METHOD_RATIOS, extract_features
+    from vitvs_tpu.harness.pipeline import ServoModel
+    from vitvs_tpu.io_bridge.config import VSConfig
+    from vitvs_tpu.sim import load_poster_scene, observe
+
+    cfg = VSConfig()
+    model = ServoModel.create(cfg, compute_dtype=jnp.float32)
+    scene = load_poster_scene()
+    gp = jnp.asarray([0.0, 0.0, 0.61], jnp.float32)
+    gq = jnp.asarray([0.0, 0.7071068, 0.0, 0.7071068], jnp.float32)
+    goal_rgb, _ = observe(scene, model.camera, gp, gq)
+    rgb, _ = observe(scene, model.camera,
+                     gp + jnp.asarray([0.05, -0.04, 0.12]), gq)
+    gf = extract_features(model, grayscale(goal_rgb), 576, "sift")
+    cf = extract_features(model, grayscale(rgb), 576, "sift")
+
+    def top24_set(valid_mask):
+        m = match_descriptors(gf.desc, cf.desc, gf.valid & valid_mask,
+                              cf.valid, 24, norm="l2",
+                              ratio=METHOD_RATIOS["sift"])
+        return int(m.num_valid), np.asarray(gf.uv)[np.asarray(m.idx1)][
+            np.asarray(m.valid)]
+
+    n_full, uv_full = top24_set(jnp.ones(576, bool))
+    rng = np.random.default_rng(7)
+    drop = jnp.asarray(rng.random(576) > 0.05)   # keep 95%
+    n_drop, uv_drop = top24_set(drop)
+
+    assert n_full >= 16
+    assert n_drop >= 12  # still far above the >=4 feature-ok floor
+    # the surviving selection overlaps heavily with the full selection
+    full_set = {tuple(p) for p in np.round(uv_full).tolist()}
+    kept = sum(tuple(p) in full_set for p in np.round(uv_drop).tolist())
+    assert kept / max(n_drop, 1) > 0.6

