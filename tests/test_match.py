@@ -191,3 +191,64 @@ def test_factorized_binned_int8_close():
     q = np.asarray(binned_cosine_similarity(d1, d2, (gh, gw), int8=True))
     assert np.abs(fp - q).max() < 0.01
     assert (fp.argmax(1) == q.argmax(1)).mean() > 0.95
+
+
+def _smooth_field_descs(gh, gw, shift_rc, d=64, seed=3):
+    """Descriptors sampled from a smooth random-Fourier field at patch
+    centers; image 2 is the field translated by `shift_rc` patches."""
+    r = np.random.default_rng(seed)
+    W = r.standard_normal((2, d)).astype(np.float32) * 0.35  # low frequencies
+    b = r.uniform(0, 2 * np.pi, d).astype(np.float32)
+
+    def field(pos):  # pos (t, 2) float patch coords
+        return np.cos(pos @ W + b).astype(np.float32)
+
+    rr, cc = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+    pos = np.stack([rr.ravel(), cc.ravel()], -1).astype(np.float32)
+    desc1 = field(pos)
+    # content of image2 at patch p is the image1 field at p - shift
+    desc2 = field(pos - np.asarray(shift_rc, np.float32))
+    return desc1, desc2
+
+
+def test_subpixel_refinement_recovers_fractional_shift():
+    """A sub-patch translation of a smooth field is recovered to <0.12 patch
+    by the parabola refinement (patch-center matching alone errs ~|shift|)."""
+    gh = gw = 12
+    shift = (0.3, -0.4)
+    desc1, desc2 = _smooth_field_descs(gh, gw, shift)
+    m = C.find_correspondences(jnp.asarray(desc1), jnp.asarray(desc2),
+                               (gh, gw), 24, jax.random.PRNGKey(0))
+    refined = C.refine_matches_subpixel(jnp.asarray(desc1), jnp.asarray(desc2),
+                                        m, (gh, gw))
+    valid = np.asarray(m.valid)
+    assert valid.sum() >= 8
+    p1 = np.asarray(m.points1)[valid]
+    p2r = np.asarray(refined.points2)[valid]
+    # drop pairs whose matched token sits on the grid border (offset zeroed)
+    inner = ((p1[:, 0] > 1) & (p1[:, 0] < gh - 2)
+             & (p1[:, 1] > 1) & (p1[:, 1] < gw - 2))
+    err = p2r[inner] - (p1[inner] + np.asarray(shift))
+    # parabola fit on a cosine surface has a small curvature bias; bound the
+    # worst case well under the 0.3/0.4-patch quantization error and the mean
+    # at an order of magnitude better
+    assert np.abs(err).max() < 0.2, err
+    assert np.abs(err).mean() < 0.08, err
+    # unrefined patch-center matching cannot do better than the rounded shift
+    p2 = np.asarray(m.points2)[valid]
+    quant_err = np.abs(p2[inner] - (p1[inner] + np.asarray(shift)))
+    assert np.abs(err).max() < quant_err.max()
+
+
+def test_subpixel_refinement_identity_cases():
+    """Zero shift, same-image shortcut, and invalid slots stay unrefined."""
+    gh = gw = 10
+    desc1, desc2 = _smooth_field_descs(gh, gw, (0.0, 0.0), seed=5)
+    m = C.find_correspondences(jnp.asarray(desc1), jnp.asarray(desc2),
+                               (gh, gw), 16, jax.random.PRNGKey(1))
+    refined = C.refine_matches_subpixel(jnp.asarray(desc1), jnp.asarray(desc2),
+                                        m, (gh, gw))
+    # identical images trip the same-image shortcut -> offsets forced to zero;
+    # otherwise the symmetric peak gives near-zero offsets anyway
+    np.testing.assert_allclose(np.asarray(refined.points2),
+                               np.asarray(m.points2), atol=1e-5)

@@ -26,6 +26,10 @@ GOAL_QUAT = jnp.array([0.0, 0.7071068, 0.0, 0.7071068])
 
 def tiny_setup(num_pairs=16, lam=0.5, dt=0.1, max_iterations=120,
                pixel_identity=False, **cfg_kw):
+    # Random-weight descriptors are not a smooth field over patch position,
+    # so the parabola refinement premise (see refine_matches_subpixel) does
+    # not hold for this test model; keep patch-center matching here.
+    cfg_kw.setdefault("subpixel_matching", False)
     cfg = VSConfig(
         u_max=128, v_max=128, f_x=100.5, f_y=100.5,
         dino_input_size=112, num_pairs=num_pairs,

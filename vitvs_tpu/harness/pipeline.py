@@ -41,7 +41,8 @@ from vitvs_tpu.control import (
     ibvs_velocity,
 )
 from vitvs_tpu.io_bridge.config import VSConfig
-from vitvs_tpu.match import find_correspondences, match_points_to_pixels
+from vitvs_tpu.match import (find_correspondences, match_points_to_pixels,
+                             refine_matches_subpixel)
 from vitvs_tpu.models.extractor import extract_descriptors
 from vitvs_tpu.models.vit import ViTConfig, ViTParams, make_config
 
@@ -200,12 +201,17 @@ def servo_step(
         int8=model.quantized,  # int8 serving quantizes the match matmul too
         sim_matrix=sim_matrix,
     )
+    if cfg.subpixel_matching:
+        # sub-patch parabola refinement of the current image's positions —
+        # removes the patch-pitch quantization floor (see VSConfig field doc)
+        match = refine_matches_subpixel(goal_desc, cur_desc, match, grid)
 
     # patch -> camera pixels (goal points = image1, current = image2)
+    round_px = not cfg.subpixel_matching
     s_uv_star = match_points_to_pixels(match.points1, grid[0], cfg.dino_input_size,
-                                       (cfg.u_max, cfg.v_max))
+                                       (cfg.u_max, cfg.v_max), round_px=round_px)
     s_uv = match_points_to_pixels(match.points2, grid[0], cfg.dino_input_size,
-                                  (cfg.u_max, cfg.v_max))
+                                  (cfg.u_max, cfg.v_max), round_px=round_px)
 
     feature_ok = match.num_valid >= 4
     cam = model.camera

@@ -94,6 +94,14 @@ class VSConfig:
     # reference's closed-loop behavior with a comparable per-iteration dt:
     # lambda*dt*1500 must comfortably exceed the 90% error-reduction target.
     control_dt: float = 0.4
+    # Sub-patch parabola refinement of matched positions (an improvement over
+    # the reference, which quantizes correspondences to patch centers —
+    # calculate_uv, vitvs_v2.py:525-553).  Removes the ~2.2 cm patch-pitch
+    # precision floor that accounts for every failure of the 500-episode
+    # standard sweep (scripts/diag_failures.py: all 50 failures are
+    # near-misses clustered at small-initial-offset starts).  Set False for
+    # literal reference parity.
+    subpixel_matching: bool = True
     # Reproduce the reference's zero-padding of missing matches into phantom
     # (0,0) pixel features (`calculate_uv`, vitvs_v2.py:533-553).  Default off:
     # invalid pairs are masked out of the least-squares solve instead.

@@ -3,6 +3,7 @@ from vitvs_tpu.match.correspondence import (
     cosine_similarity_matrix,
     find_correspondences,
     match_points_to_pixels,
+    refine_matches_subpixel,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "cosine_similarity_matrix",
     "find_correspondences",
     "match_points_to_pixels",
+    "refine_matches_subpixel",
 ]

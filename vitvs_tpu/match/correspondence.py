@@ -182,11 +182,75 @@ def find_correspondences(
     )
 
 
+def refine_matches_subpixel(
+    desc1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    match: MatchResult,
+    num_patches: tuple[int, int],
+) -> MatchResult:
+    """Sub-patch refinement of the matched positions in image 2.
+
+    The reference reports correspondences at PATCH CENTERS
+    (`calculate_uv`, vitvs_v2.py:525-553), which quantizes the visual error
+    to the patch pitch — at the benchmark operating point (308² input, 22×22
+    grid, 0.8 m poster at 0.61 m height) one patch ≈ 2.2 cm on the poster.
+    Failure clustering of the 500-episode standard sweep
+    (scripts/diag_failures.py) shows exactly that floor: every failure is a
+    near-miss (median lowest error 2.8 cm) on episodes whose small initial
+    offset makes the 90%-reduction bar unreachable at patch quantization.
+
+    This refinement is the standard 1-D parabola peak fit, per axis, of the
+    cosine similarity between the goal token and the 3×3 patch neighborhood
+    of its matched token in the current image.  Because the matched token is
+    the row argmax, the center score is the neighborhood max and the fit is
+    well-posed; offsets are clipped to ±0.5 patch and zeroed on grid borders,
+    for invalid slots, and under the same-image shortcut.  Goal points stay
+    at patch centers (they define the target features); only the current
+    image's positions become continuous, which removes the quantization from
+    the IBVS error signal e = s − s*.
+    """
+    gh, gw = num_patches
+    f32 = jnp.float32
+    d1 = desc1.astype(f32)
+    d2 = desc2.astype(f32)
+    d1 = d1 / jnp.maximum(jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-12)
+    d2 = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=-1, keepdims=True), 1e-12)
+
+    r1 = match.points1[:, 0].astype(jnp.int32)
+    c1 = match.points1[:, 1].astype(jnp.int32)
+    q = d1[r1 * gw + c1]                          # (k, d) goal tokens
+    r2 = match.points2[:, 0].astype(jnp.int32)
+    c2 = match.points2[:, 1].astype(jnp.int32)
+
+    # 3x3 neighborhood similarities around each matched token (k, 3, 3)
+    dr = jnp.array([-1, 0, 1], jnp.int32)
+    rr = jnp.clip(r2[:, None] + dr[None, :], 0, gh - 1)        # (k, 3)
+    cc = jnp.clip(c2[:, None] + dr[None, :], 0, gw - 1)        # (k, 3)
+    nidx = rr[:, :, None] * gw + cc[:, None, :]                # (k, 3, 3)
+    s = jnp.einsum("kd,krcd->krc", q, d2[nidx])                # (k, 3, 3)
+
+    def _axis_offset(s_m, s0, s_p, at_border):
+        den = s_m + s_p - 2.0 * s0          # < 0 at a genuine peak
+        off = jnp.where(den < -1e-6, (s_m - s_p) / (2.0 * den), 0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        return jnp.where(at_border, 0.0, off)
+
+    off_r = _axis_offset(s[:, 0, 1], s[:, 1, 1], s[:, 2, 1],
+                         (r2 == 0) | (r2 == gh - 1))
+    off_c = _axis_offset(s[:, 1, 0], s[:, 1, 1], s[:, 1, 2],
+                         (c2 == 0) | (c2 == gw - 1))
+    offs = jnp.stack([off_r, off_c], axis=-1)
+    keep = match.valid & ~match.same_image
+    offs = jnp.where(keep[:, None], offs, 0.0)
+    return match._replace(points2=match.points2 + offs)
+
+
 def match_points_to_pixels(
     points: jnp.ndarray,
     num_patches_side: int,
     dino_input_size: int,
     image_size_uv: tuple[int, int],
+    round_px: bool = True,
 ) -> jnp.ndarray:
     """Patch (row, col) -> full-resolution pixel (u, v).
 
@@ -194,10 +258,13 @@ def match_points_to_pixels(
     `p * scale + scale/2` with scale = dino_input_size / num_patches
     (vitvs_v2.py:511-513), then flip (row,col)->(u,v) and rescale to the
     camera resolution with rounding (`calculate_uv`, vitvs_v2.py:525-553).
+    round_px=False skips the final rounding — required to preserve
+    sub-patch refined positions (:func:`refine_matches_subpixel`).
     """
     u_max, v_max = image_size_uv
     scale = dino_input_size / num_patches_side
     pix = points * scale + scale / 2.0          # (k, 2) = (y, x) in DINO input
     uv = jnp.stack([pix[..., 1], pix[..., 0]], axis=-1)  # flip -> (u, v)
     factors = jnp.array([u_max / dino_input_size, v_max / dino_input_size], jnp.float32)
-    return jnp.round(uv * factors)
+    uv = uv * factors
+    return jnp.round(uv) if round_px else uv
