@@ -55,8 +55,12 @@ def main():
 
     variants = {}
     for impl in args.variants.split(","):
-        variants[impl] = dataclasses.replace(
-            base, vit=dataclasses.replace(base.vit, attn_impl=impl))
+        if impl in ("pv", "qk+pv", "fused"):
+            # int8 attention modes (models/quant.py) rather than attn_impl
+            vit = dataclasses.replace(base.vit, quant_attn=impl)
+        else:
+            vit = dataclasses.replace(base.vit, attn_impl=impl)
+        variants[impl] = dataclasses.replace(base, vit=vit)
 
     goal = jax.jit(lambda p, f: goal_descriptors(p, base, f))(params, frames[0])
     jax.block_until_ready(goal)

@@ -135,3 +135,53 @@ def test_serving_kernels_inside_full_servo_step():
     np.testing.assert_allclose(np.asarray(got.v_c), np.asarray(ref.v_c),
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+
+
+@pytest.mark.parametrize("shape", [(1, 65, 2, 32), (2, 130, 3, 64)])
+def test_fused_int8_attention_matches_sdpa(shape):
+    """Interpret-mode check of the fused int8-QK^T kernel vs exact softmax
+    attention.  Error budget: per-(token, head) int8 on Q/K gives ~0.5%
+    logit error -> percent-level probability error on realistic magnitudes."""
+    from vitvs_tpu.ops.attn_int8 import fused_int8_attention
+
+    B, T, H, D = shape
+    r = np.random.default_rng(7)
+    q = jnp.asarray(r.standard_normal((B, T, H * D)).astype(np.float32))
+    k = jnp.asarray(r.standard_normal((B, T, H * D)).astype(np.float32))
+    v = jnp.asarray(r.standard_normal((B, T, H * D)).astype(np.float32))
+    ref = np.asarray(_sdpa_ref(*(x.reshape(B, T, H, D) for x in (q, k, v))))
+    out = np.asarray(
+        fused_int8_attention(q, k, v, heads=H, q_tile=64, interpret=True)
+    ).reshape(B, T, H, D)
+    assert np.isfinite(out).all()
+    # int8 quantization noise dominates: bound mean/max absolute error on
+    # unit-variance values
+    err = np.abs(out - ref)
+    assert err.mean() < 5e-3, err.mean()
+    assert err.max() < 6e-2, err.max()
+
+
+def test_fused_int8_attention_padded_columns_masked():
+    """Rows whose real logits are all strongly negative must not pick up
+    probability mass from padded K columns (the r2 advisor's cancellation
+    scenario, here prevented by the -1e30 bias fold)."""
+    from vitvs_tpu.ops.attn_int8 import fused_int8_attention
+
+    B, T, H, D = 1, 70, 2, 64   # tk_pad = 128 -> 58 padded columns
+    r = np.random.default_rng(11)
+    u = r.standard_normal(D).astype(np.float32)
+    u /= np.linalg.norm(u)
+    k_np = np.tile(u, (B, T, H, 1)).astype(np.float32)
+    q_np = 0.3 * r.standard_normal((B, T, H, D)).astype(np.float32)
+    q_np[:, :8] = -25.0 * np.sqrt(D) * u     # strongly negative logits
+    v_np = r.standard_normal((B, T, H, D)).astype(np.float32)
+    q = jnp.asarray(q_np.reshape(B, T, H * D))
+    k = jnp.asarray(k_np.reshape(B, T, H * D))
+    v = jnp.asarray(v_np.reshape(B, T, H * D))
+    ref = np.asarray(_sdpa_ref(jnp.asarray(q_np), jnp.asarray(k_np),
+                               jnp.asarray(v_np)))
+    out = np.asarray(
+        fused_int8_attention(q, k, v, heads=H, q_tile=64, interpret=True)
+    ).reshape(B, T, H, D)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=5e-2)

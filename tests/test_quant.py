@@ -74,12 +74,14 @@ def test_static_calibrated_scales_close_to_fp(alpha):
     assert cos.min() > 0.995, cos.min()
 
 
-@pytest.mark.parametrize("mode", ["pv", "qk+pv"])
+@pytest.mark.parametrize("mode", ["pv", "qk+pv", "fused"])
 def test_int8_attention_close_to_fp(mode):
-    """int8 probs@V (row-max trick) and int8 QK^T must preserve descriptors."""
+    """int8 probs@V (row-max trick), int8 QK^T, and the fused Pallas kernel
+    (run in interpreter mode on CPU) must preserve descriptors."""
     cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=192, depth=4, num_heads=3,
                             pos_grid=16, stride=14, model_name="tiny",
-                            quant_attn=mode)
+                            quant_attn=mode,
+                            attn_impl="xla-interpret" if mode == "fused" else "xla")
     params = _real_scale_params(cfg)
     qp = quantize_vit_params(params)
     img = jnp.asarray(RNG.random((1, 154, 154, 3)), jnp.float32)

@@ -221,11 +221,24 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
     qkv = _q_matmul(x_norm, bp["qkv_kernel"], bp["qkv_kernel_scale"][0],
                     bp["qkv_bias"], dt,
                     act_scale=None if acts is None else acts[0])
-    qkv = qkv.reshape(B, T, 3, h, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    scale = 1.0 / math.sqrt(hd)
     mode = getattr(cfg, "quant_attn", "pv")
-    if mode == "qk+pv":
+    if mode == "fused":
+        # fully fused int8-QK^T kernel (ops/attn_int8.py): q/k/v stay in the
+        # qkv output's natural (B, T, D) layout — the three slices below are
+        # contiguous, no head transpose ever materializes
+        from vitvs_tpu.ops.attn_int8 import fused_int8_attention
+
+        attn = fused_int8_attention(
+            qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:], heads=h,
+            interpret=cfg.attn_impl.endswith("-interpret"))
+        attn = attn.astype(dt)
+    else:
+        qkv = qkv.reshape(B, T, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = 1.0 / math.sqrt(hd)
+    if mode == "fused":
+        pass  # attn computed above; skip the unfused score/value paths
+    elif mode == "qk+pv":
         # int8 score matmul: per-(token, head) symmetric scales
         def _q_th(x):  # (B, T, h, hd) -> int8 + (B, T, h, 1) f32 scales
             amax = jnp.max(jnp.abs(x), -1, keepdims=True).astype(jnp.float32)
@@ -245,7 +258,9 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         if cfg.softmax_f32:
             logits = logits.astype(jnp.float32)
-    if mode in ("pv", "qk+pv"):
+    if mode == "fused":
+        pass  # attn already set by the fused kernel
+    elif mode in ("pv", "qk+pv"):
         # int8 value matmul with the row-max trick: after max subtraction the
         # row maximum of exp(l - m) is exactly 1, so `round(exp * 127)` IS the
         # per-row symmetric int8 quantization — no division by the softmax

@@ -76,10 +76,12 @@ class ViTConfig:
     # score/value matmuls in bf16; 'pv' quantizes probs@V using the row-max
     # trick (probs row max == 1/denom after max subtraction, so the int8
     # quantization replaces the softmax division); 'qk+pv' also runs QK^T in
-    # int8 with per-(token, head) scales.  Default 'none': under XLA the
-    # extra quantize fusions cost more HBM passes than the int8 MXU saves
-    # (measured 2.50 vs 2.37 ms/iter ViT-B@518 serving step); the modes pay
-    # off inside fused kernels where the (T x T) tensors stay in VMEM.
+    # int8 with per-(token, head) scales; 'fused' runs the single-pass
+    # Pallas kernel (ops/attn_int8.py) — int8 QK^T with in-register dequant,
+    # scores VMEM-resident, natural-layout I/O.  Default 'none': under XLA
+    # the extra quantize fusions of 'pv'/'qk+pv' cost more HBM passes than
+    # the int8 MXU saves (measured 2.50 vs 2.37 ms/iter ViT-B@518 serving
+    # step); 'fused' is the measured-on-hardware candidate to flip.
     quant_attn: str = "none"
     # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
     ffn: str = "mlp"
