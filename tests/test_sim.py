@@ -186,3 +186,33 @@ def test_bilinear_quad_gather_matches_naive_indexing():
     got = np.asarray(_bilinear_sample(tex, rows, cols))
     ref = np.asarray(naive(tex, rows, cols))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_organized_point_cloud_backprojection():
+    """Cloud xyz must satisfy the pinhole relation of the reference plugin
+    (gazebo_ros_realsense.cpp:105-193): x = d*(i-c)/fl with fl from the
+    65-degree HFOV, principal point at (N-1)/2, NaN outside (near, far)."""
+    from vitvs_tpu.sim import organized_point_cloud
+
+    H, W = 6, 8
+    d = np.full((H, W), 2.0, np.float32)
+    d[0, 0] = 0.1    # below near cutoff
+    d[1, 1] = 9.0    # beyond far cutoff
+    rgb = np.arange(H * W * 3, dtype=np.float32).reshape(H, W, 3)
+    cloud = np.asarray(organized_point_cloud(jnp.asarray(d), jnp.asarray(rgb)))
+    assert cloud.shape == (H, W, 6)
+    fl = W / (2.0 * np.tan(np.radians(65.0) / 2.0))
+    # center-ish pixel: check the backprojection arithmetic exactly
+    v, u = 3, 5
+    assert np.isclose(cloud[v, u, 0], 2.0 * (u - 0.5 * (W - 1)) / fl)
+    assert np.isclose(cloud[v, u, 1], 2.0 * (v - 0.5 * (H - 1)) / fl)
+    assert np.isclose(cloud[v, u, 2], 2.0)
+    # out-of-range depths -> NaN xyz, colors preserved (is_dense=false)
+    assert np.isnan(cloud[0, 0, :3]).all() and np.isnan(cloud[1, 1, :3]).all()
+    np.testing.assert_array_equal(cloud[..., 3:], rgb)
+    # mono image broadcast + no-image zero fill
+    mono = np.asarray(organized_point_cloud(jnp.asarray(d),
+                                            jnp.asarray(rgb[..., 0])))
+    np.testing.assert_array_equal(mono[..., 3], mono[..., 5])
+    none = np.asarray(organized_point_cloud(jnp.asarray(d)))
+    np.testing.assert_array_equal(none[..., 3:], 0.0)

@@ -2,6 +2,7 @@ from vitvs_tpu.sim.scene import (Scene, load_poster_scene,
                                  make_synthetic_poster, render)
 from vitvs_tpu.sim.perturb import perturb_texture
 from vitvs_tpu.sim.env import observe, env_step
+from vitvs_tpu.sim.pointcloud import organized_point_cloud
 
 __all__ = [
     "Scene",
@@ -11,4 +12,5 @@ __all__ = [
     "perturb_texture",
     "observe",
     "env_step",
+    "organized_point_cloud",
 ]
