@@ -70,6 +70,7 @@ def run_benchmark(
     verbose: bool = True,
     checkpoint_path: str | None = None,
     mesh=None,
+    quantized: bool = False,
 ):
     """`checkpoint_path` enables episode-level checkpoint/resume: after every
     chunk the completed episode results are pickled there, and a re-run with
@@ -89,6 +90,22 @@ def run_benchmark(
     if model is None:
         params, model = build_model(cfg, params)
     assert params is not None, "pass params when supplying a prebuilt model"
+    if quantized and not model.quantized:
+        # int8 W8A8 serving path for the full closed-loop sweep — the
+        # convergence validation of the configuration bench.py measures
+        import dataclasses as _dc
+
+        from vitvs_tpu.models.quant import quantize_vit_params
+
+        params = quantize_vit_params(params, compute_dtype=model.compute_dtype)
+        model = _dc.replace(model, quantized=True)
+    elif not model.quantized:
+        # pre-cast f32 master weights to the compute dtype once: vit_features
+        # casts the block stack per forward, and XLA does not reliably hoist
+        # that conversion out of the rollout scan
+        params = jax.tree.map(
+            lambda a: a.astype(model.compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, params)
     scene = scene or build_scene()
 
     if mesh is not None:

@@ -59,6 +59,9 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree for the ViT params (with"
                         " --mesh; use for ViT-L+ models)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the ViT on the int8 W8A8 path (the bench.py"
+                        " configuration) instead of bf16")
     args = p.parse_args(argv)
 
     from vitvs_tpu.io_bridge.config import VSConfig, load_config
@@ -78,6 +81,8 @@ def main(argv=None):
 
     config_name = (os.path.splitext(os.path.basename(args.config))[0]
                    if args.config else "config")
+    if args.int8:
+        config_name += "_int8"   # keep int8 sweeps from shadowing bf16 npz
 
     scene = None   # None -> the benchmark drivers load the real poster scene
     if args.poster == "synthetic":
@@ -106,6 +111,7 @@ def main(argv=None):
             rotation_search=not args.no_rotation_search,
             chunk=args.chunk, num_steps=args.num_steps,
             checkpoint_path=args.resume, mesh=mesh,
+            quantized=args.int8,
         )
     else:
         from vitvs_tpu.classical.benchmark import run_classical_benchmark

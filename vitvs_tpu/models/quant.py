@@ -112,6 +112,15 @@ def quantize_vit_params(
         qblocks[name] = qv
         qblocks[name + "_scale"] = qs
     out = dict(params)
+    # Pre-stage the embed-side params in the compute dtype: profiled at
+    # ViT-B@518, leaving them f32 makes XLA re-convert/copy the patch-embed
+    # kernel and cls/pos embeddings INSIDE every servo-scan iteration (the
+    # conversions are not hoisted out of the while loop) — pure per-frame
+    # overhead for weights that are consumed in bf16 anyway.
+    out["patch_embed"] = {k: v.astype(compute_dtype)
+                          for k, v in params["patch_embed"].items()}
+    out["cls_token"] = params["cls_token"].astype(compute_dtype)
+    out["pos_embed"] = params["pos_embed"].astype(compute_dtype)
     out["blocks"] = qblocks
     return out
 
