@@ -143,11 +143,22 @@ def run_benchmark(
     goal_desc = rep_put(jax.jit(lambda p, f: goal_descriptors(p, model, f))(
         params, goal_rgb))
 
-    # perturbed textures per episode (scene-level fault injection)
-    textures = None
+    # perturbed textures per episode (scene-level fault injection), generated
+    # PER CHUNK: keys derive from the absolute episode index (chunk- and
+    # resume-invariant), but materializing all n textures up front OOMs on
+    # real-size scenes (500 x the 1500x1125 viso poster = ~10 GB of HBM
+    # before the ViT even loads; r3 OOM'd at 21.8/15.75 GB)
+    textures_for = None
     if perturbation:
-        keys = jax.random.split(jax.random.PRNGKey(perturb_seed), n)
-        textures = jax.vmap(lambda k: perturb_texture(k, scene.texture))(keys)
+        tex_keys = np.asarray(
+            jax.random.split(jax.random.PRNGKey(perturb_seed), n))
+        _perturb_chunk = jax.jit(jax.vmap(perturb_texture, in_axes=(0, None)))
+
+        def textures_for(lo, hi, pad):  # noqa: F811
+            ks = tex_keys[lo:hi]
+            if pad:
+                ks = np.concatenate([ks, np.repeat(ks[-1:], pad, 0)])
+            return env_put(_perturb_chunk(jnp.asarray(ks), scene.texture))
 
     # rotation-compensation search, vmapped across episode CHUNKS (one jit
     # call per chunk instead of one per episode — at ~30 ms tunnel RTT a
@@ -180,13 +191,13 @@ def run_benchmark(
 
             keys = env_put(jax.vmap(jax.random.PRNGKey)(
                 jnp.arange(1000 + lo, 1000 + lo + chunk)))
-            if textures is None:
+            if textures_for is None:
                 out = search_chunk_notx(params, goal_desc, scene,
                                         pad_to_chunk(positions),
                                         pad_to_chunk(best_quats), keys)
             else:
                 out = search_chunk_tx(params, goal_desc, scene,
-                                      pad_to_chunk(textures),
+                                      textures_for(lo, hi, pad),
                                       pad_to_chunk(positions),
                                       pad_to_chunk(best_quats), keys)
             bq.append(np.asarray(out)[: hi - lo])
@@ -302,7 +313,7 @@ def run_benchmark(
         # keys derive from the ABSOLUTE episode index so results are invariant
         # to --chunk, to resuming with a different chunk size, and to the mesh
         keys = env_put(jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk)))
-        tx = None if textures is None else padded(textures)
+        tx = None if textures_for is None else textures_for(lo, hi, pad)
         batch = run_chunk(tx, padded(positions), padded(best_quats), keys)
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
