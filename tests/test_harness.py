@@ -131,6 +131,24 @@ def test_run_benchmark_with_perturbation_and_rotation_search(tmp_path):
     assert path.endswith("_perturbed.npz")
 
 
+def test_perturbed_results_chunk_invariant(tmp_path):
+    """Per-chunk texture generation (r3: the upfront vmap OOM'd on real-size
+    scenes) derives keys from absolute episode indices, so results must be
+    bitwise identical across --chunk settings."""
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=6)
+    cfg = model.cfg.replace(num_samples=4, num_circles=1)
+    common = dict(params=params, model=model, scene=scene,
+                  out_dir=str(tmp_path), perturbation=True,
+                  rotation_search=False, num_steps=6, verbose=False)
+    _, p1, _ = run_benchmark(cfg, config_name="c2", chunk=2, **common)
+    _, p4, _ = run_benchmark(cfg, config_name="c4", chunk=4, **common)
+    d1, d4 = np.load(p1, allow_pickle=True), np.load(p4, allow_pickle=True)
+    np.testing.assert_array_equal(d1["convergence_flags"], d4["convergence_flags"])
+    for i in range(4):
+        np.testing.assert_array_equal(d1["all_position_histories"][i],
+                                      d4["all_position_histories"][i])
+
+
 # ---------------------------------------------------------------------------
 # viz
 # ---------------------------------------------------------------------------
