@@ -35,3 +35,17 @@ def test_classical_benchmark_smoke(tmp_path):
     assert path.endswith("results_smoke_sift_standard.npz")
     d = np.load(path, allow_pickle=True)
     assert len(d["convergence_flags"]) == 2
+
+    # perturbed mode: per-chunk texture generation (r3: upfront vmap OOM'd
+    # on real-size scenes)
+    stats_p, path_p, _ = run_classical_benchmark(
+        cfg, scene=scene, out_dir=str(tmp_path), config_name="smoke",
+        method="sift", chunk=2, num_steps=6, max_corners=128, verbose=False,
+        perturbation=True)
+    assert stats_p.num_samples == 2
+    assert path_p.endswith("results_smoke_sift_perturbed.npz")
+
+
+def test_cli_rejects_int8_for_classical():
+    with pytest.raises(SystemExit):
+        cli.main(["--method", "sift", "--int8"])

@@ -136,6 +136,25 @@ def test_serving_kernels_inside_full_servo_step():
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
 
+    # the QUANTIZED block's Pallas branch honors the same '-interpret'
+    # convention (quant.py:_block_q; regression for the r3 review finding
+    # where the suffix fell through to exact XLA softmax silently)
+    from vitvs_tpu.models.quant import quantize_vit_params
+
+    qparams = quantize_vit_params(params, compute_dtype=jnp.float32)
+    qmodel = ServoModel(vit=serving_vit, cfg=model.cfg,
+                        compute_dtype=model.compute_dtype, quantized=True)
+
+    def run_q(m):
+        goal = goal_descriptors(qparams, m, goal_rgb)
+        return servo_step(qparams, m, goal, rgb, depth, EmaState.init(),
+                          jnp.zeros(6), jax.random.PRNGKey(3))
+
+    got_q = run_q(qmodel)
+    assert bool(got_q.feature_ok)
+    np.testing.assert_allclose(np.asarray(got_q.v_c), np.asarray(ref.v_c),
+                               atol=5e-3)
+
 
 @pytest.mark.parametrize("shape", [(1, 65, 2, 32), (2, 130, 3, 64)])
 def test_fused_int8_attention_matches_sdpa(shape):

@@ -60,10 +60,20 @@ def run_classical_benchmark(
     goal_rgb, _ = observe(scene, model.camera, goal_pos, goal_quat)
     goal_feats = extract_goal_features(model, goal_rgb, max_corners, method)
 
-    textures = None
+    # perturbed textures per chunk from absolute-index keys (chunk-invariant;
+    # materializing all n up front OOMs on the real-size poster — see
+    # harness/benchmark.py)
+    textures_for = None
     if perturbation:
-        keys = jax.random.split(jax.random.PRNGKey(perturb_seed), n)
-        textures = jax.vmap(lambda k: perturb_texture(k, scene.texture))(keys)
+        tex_keys = np.asarray(
+            jax.random.split(jax.random.PRNGKey(perturb_seed), n))
+        _perturb_chunk = jax.jit(jax.vmap(perturb_texture, in_axes=(0, None)))
+
+        def textures_for(lo, hi, pad):  # noqa: F811
+            ks = tex_keys[lo:hi]
+            if pad:
+                ks = np.concatenate([ks, np.repeat(ks[-1:], pad, 0)])
+            return _perturb_chunk(jnp.asarray(ks), scene.texture)
 
     # NOTE goal features and the scene are threaded as jit ARGUMENTS (closure
     # captures are baked into the compile payload as constants).  Rollouts
@@ -168,7 +178,7 @@ def run_classical_benchmark(
 
         # keys from the absolute episode index: chunk-size invariant
         keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk))
-        txs = None if textures is None else padded(textures)
+        txs = None if textures_for is None else textures_for(lo, hi, pad)
         batch = run_chunk(txs, padded(positions), padded(quats), keys)
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):

@@ -48,6 +48,11 @@ def build_scene(texture: np.ndarray | None = None, half_size=None) -> Scene:
     measured on, ibvs.launch:21-22).  Pass a texture for custom scenes or
     `make_synthetic_poster()` for the r1/r2 synthetic texture."""
     if texture is None:
+        if half_size is not None:
+            raise ValueError(
+                "half_size requires a texture: the default poster scene has "
+                "the reference mesh's fixed physical size (pass a texture to "
+                "build a custom-size scene)")
         return load_poster_scene()
     return Scene.create(texture, half_size=0.42 if half_size is None else half_size)
 
@@ -82,8 +87,10 @@ def run_benchmark(
     shards each rollout chunk over data-parallel devices and the ViT params
     over tensor-parallel devices — replacing the reference's one-at-a-time
     episode loop (vitvs_v2.py:1434, SURVEY §2.3).  Episode PRNG keys derive
-    from absolute indices, so results are bitwise identical to the
-    single-device run (asserted in tests/test_parallel.py)."""
+    from absolute indices, so rollouts are deterministic per episode; mesh
+    results match the single-device run to float tolerance (~1e-4 over short
+    rollouts — XLA schedules fusions differently under sharding, so bitwise
+    equality is not achievable; asserted in tests/test_parallel.py)."""
     import pickle
 
     t_start = time.time()
@@ -155,6 +162,10 @@ def run_benchmark(
         _perturb_chunk = jax.jit(jax.vmap(perturb_texture, in_axes=(0, None)))
 
         def textures_for(lo, hi, pad):  # noqa: F811
+            # deliberately uncached: the search phase completes before the
+            # rollout phase, so each chunk IS generated twice — a few ms of
+            # augmentation ops per chunk vs minutes of rollout; caching all
+            # chunks would re-create the OOM this replaces
             ks = tex_keys[lo:hi]
             if pad:
                 ks = np.concatenate([ks, np.repeat(ks[-1:], pad, 0)])

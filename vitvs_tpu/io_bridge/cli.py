@@ -55,7 +55,8 @@ def main(argv=None):
                    help="episode checkpoint file for crash-resumable sweeps")
     p.add_argument("--mesh", action="store_true",
                    help="shard rollout chunks over all devices (dp x tp mesh;"
-                        " results are bitwise identical to single-device)")
+                        " per-episode keys are device-layout invariant,"
+                        " results match single-device to float tolerance)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree for the ViT params (with"
                         " --mesh; use for ViT-L+ models)")
@@ -78,6 +79,11 @@ def main(argv=None):
         from vitvs_tpu.models.convert import load_params
 
         params = load_params(args.checkpoint)
+
+    if args.method != "dino" and (args.int8 or args.mesh):
+        p.error(f"--int8/--mesh apply to the dino pipeline only; "
+                f"--method {args.method} runs the classical controller "
+                f"(f32, single-device)")
 
     config_name = (os.path.splitext(os.path.basename(args.config))[0]
                    if args.config else "config")

@@ -291,15 +291,18 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
         out = (pv.astype(jnp.float32) * vs                     # (B,Tq,h,hd)
                / (127.0 * jnp.transpose(denom, (0, 2, 1))[..., None]))
         attn = out.astype(dt).reshape(B, T, D)
-    elif (cfg.attn_impl in ("pallas", "fast")
+    elif (cfg.attn_impl.removesuffix("-interpret") in ("pallas", "fast")
           or (cfg.attn_impl == "auto" and jax.default_backend() == "tpu")):
         # flash-attention Pallas kernel; 'fast' = no-max deferred-normalize
-        # softmax (ops/attention._fast_kernel), the serving default's
-        # candidate for cutting the ~0.78 ms/iter XLA attention fusion
+        # softmax (ops/attention._fast_kernel); '-interpret' suffix runs the
+        # kernel in interpreter mode for CPU tests (same convention as
+        # vit._attention)
         from vitvs_tpu.ops.attention import mha_attention
 
-        attn = mha_attention(q, k, v,
-                             fast=cfg.attn_impl == "fast").reshape(B, T, D)
+        attn = mha_attention(
+            q, k, v,
+            fast=cfg.attn_impl.removesuffix("-interpret") == "fast",
+            interpret=cfg.attn_impl.endswith("-interpret")).reshape(B, T, D)
     else:
         probs = jax.nn.softmax(logits * scale, axis=-1).astype(dt)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
