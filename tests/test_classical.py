@@ -291,3 +291,25 @@ def test_detection_quality_robust_to_approx_topk_recall():
     full_set = {tuple(p) for p in np.round(uv_full).tolist()}
     kept = sum(tuple(p) in full_set for p in np.round(uv_drop).tolist())
     assert kept / max(n_drop, 1) > 0.6
+
+
+def test_akaze_matches_under_large_spin():
+    """M-LDB's gradient channels must be rotated into the keypoint frame
+    (AKAZE's MLDB_Fill_Values): without that, matching collapses beyond
+    ~25 deg of in-plane spin (run N failure clustering, TASK_VALIDATION).
+    40 deg sits in the regime the bug loses."""
+    from vitvs_tpu.classical import akaze_features
+    from vitvs_tpu.classical.pipeline import METHOD_NORMS
+
+    cam, _, (p1, q1, g1), (p2, q2, g2) = _two_views(
+        spin_deg=40.0, offset=(0.10, -0.08, 0.05))
+    f1, f2 = akaze_features(g1, 384), akaze_features(g2, 384)
+    m = match_descriptors(f1.desc, f2.desc, f1.valid, f2.valid, 24,
+                          norm=METHOD_NORMS["akaze"])
+    sel = np.asarray(m.valid)
+    uv1 = np.asarray(f1.uv)[np.asarray(m.idx1)][sel]
+    uv2 = np.asarray(f2.uv)[np.asarray(m.idx2)][sel]
+    gt2 = _gt_reproject(cam, p1, q1, uv1, p2, q2)
+    err = np.linalg.norm(uv2 - gt2, axis=1)
+    assert int(m.num_valid) >= 12
+    assert (err < 8.0).mean() > 0.5, ((err < 8.0).mean(), np.median(err))
