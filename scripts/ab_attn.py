@@ -55,7 +55,7 @@ def main():
 
     variants = {}
     for impl in args.variants.split(","):
-        if impl in ("pv", "qk+pv", "fused"):
+        if impl in ("pv", "qk+pv", "fused", "nomax"):
             # int8 attention modes (models/quant.py) rather than attn_impl
             vit = dataclasses.replace(base.vit, quant_attn=impl)
         else:

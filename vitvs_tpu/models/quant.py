@@ -269,6 +269,26 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
             logits = logits.astype(jnp.float32)
     if mode == "fused":
         pass  # attn already set by the fused kernel
+    elif mode == "nomax":
+        # no-max, deferred-normalize softmax in PURE XLA (the Pallas version
+        # of this idea lost to kernel overheads, README ledger; this variant
+        # keeps XLA's QK^T+softmax+PV fusion and just removes VPU passes):
+        #   * no row-max reduction — logits are clamped at a static bound
+        #     instead, so exp cannot overflow (serving-only: bounded-logit
+        #     precondition, cf. ops/attention._fast_kernel docstring);
+        #   * the 1/denom normalization moves off the (T x T) probs matrix
+        #     (22.5 M elements at ViT-B@518) onto the (T x hd) PV output
+        #     (1 M) — the probs are consumed unnormalized by the MXU.
+        # f32 keeps relative precision at any magnitude, so rows far below
+        # the clamp still normalize exactly; the denom floor only guards
+        # total underflow (all logits < clamp - 87), which NaN-poisons 0/0.
+        ls = logits.astype(jnp.float32) * scale
+        e = jnp.exp(jnp.minimum(ls, cfg.nomax_clamp) - cfg.nomax_clamp)
+        denom = jnp.maximum(jnp.sum(e, axis=-1), 1e-30)        # (B,h,Tq)
+        pv = jnp.einsum("bhqk,bkhd->bqhd", e.astype(dt), v)
+        attn = (pv.astype(jnp.float32)
+                / jnp.transpose(denom, (0, 2, 1))[..., None]).astype(dt)
+        attn = attn.reshape(B, T, D)
     elif mode in ("pv", "qk+pv"):
         # int8 value matmul with the row-max trick: after max subtraction the
         # row maximum of exp(l - m) is exactly 1, so `round(exp * 127)` IS the

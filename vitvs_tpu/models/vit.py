@@ -83,6 +83,13 @@ class ViTConfig:
     # the int8 MXU saves (measured 2.50 vs 2.37 ms/iter ViT-B@518 serving
     # step); 'fused' is the measured-on-hardware candidate to flip.
     quant_attn: str = "none"
+    # 'nomax' (serving-only): pure-XLA no-max softmax — logits are clamped
+    # at `nomax_clamp` instead of row-max-subtracted, and the 1/denom
+    # normalization is deferred onto the PV output. Removes two full VPU
+    # passes over the (T x T) probs matrix, which ROOFLINE.md shows is the
+    # attention bound; exact to ~f32 rounding while every row's logits stay
+    # within ~80 of the clamp (exp underflow floor).
+    nomax_clamp: float = 30.0
     # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
     ffn: str = "mlp"
     # explicit FFN hidden width; None = int(embed_dim * mlp_ratio) for mlp,
