@@ -211,23 +211,30 @@ def refine_matches_subpixel(
     """
     gh, gw = num_patches
     f32 = jnp.float32
-    d1 = desc1.astype(f32)
-    d2 = desc2.astype(f32)
-    d1 = d1 / jnp.maximum(jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-12)
-    d2 = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=-1, keepdims=True), 1e-12)
+
+    def _unit_rows(x):
+        x = x.astype(f32)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
     r1 = match.points1[:, 0].astype(jnp.int32)
     c1 = match.points1[:, 1].astype(jnp.int32)
-    q = d1[r1 * gw + c1]                          # (k, d) goal tokens
     r2 = match.points2[:, 0].astype(jnp.int32)
     c2 = match.points2[:, 1].astype(jnp.int32)
+
+    # Gather FIRST, normalize after: only k goal rows and k*9 neighborhood
+    # rows are needed, so casting/normalizing the full (t, d) tensors in f32
+    # (2 x ~38 MB materialized at ViT-B@518 binned) would be pure HBM
+    # traffic in the serving hot loop.  Row-wise unit-normalization commutes
+    # with the row gather, so this is the same cosine to f32 rounding.
+    q = _unit_rows(desc1[r1 * gw + c1])           # (k, d) goal tokens
 
     # 3x3 neighborhood similarities around each matched token (k, 3, 3)
     dr = jnp.array([-1, 0, 1], jnp.int32)
     rr = jnp.clip(r2[:, None] + dr[None, :], 0, gh - 1)        # (k, 3)
     cc = jnp.clip(c2[:, None] + dr[None, :], 0, gw - 1)        # (k, 3)
     nidx = rr[:, :, None] * gw + cc[:, None, :]                # (k, 3, 3)
-    s = jnp.einsum("kd,krcd->krc", q, d2[nidx])                # (k, 3, 3)
+    nb = _unit_rows(desc2[nidx.reshape(-1)]).reshape(*nidx.shape, -1)
+    s = jnp.einsum("kd,krcd->krc", q, nb)                      # (k, 3, 3)
 
     def _axis_offset(s_m, s0, s_p, at_border):
         den = s_m + s_p - 2.0 * s0          # < 0 at a genuine peak
