@@ -72,6 +72,10 @@ class ServoModel:
     # factorized path wins where matmul FLOPs are the constraint (larger
     # grids / f32 matching).
     fast_binned_match: bool = False
+    # matmul precision of the preprocess resize (core/image.resize):
+    # 'highest' = f32-exact parity default; 'high' ~f32 at 2x; 'default' =
+    # single-pass bf16, error below 8-bit sensor quantization (serving)
+    pp_precision: str = "highest"
 
     @staticmethod
     def create(cfg: VSConfig, compute_dtype=None, precision=None,
@@ -138,7 +142,7 @@ def preprocess(model: ServoModel, rgb: jnp.ndarray) -> jnp.ndarray:
     """Camera frame -> normalized ViT input (reference vitvs_v2.py:474-480)."""
     return image_ops.preprocess_frame(
         rgb, model.cfg.dino_input_size, model.mean, model.std,
-        method="bicubic", antialias=True,
+        method="bicubic", antialias=True, precision=model.pp_precision,
     )
 
 
