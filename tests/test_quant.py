@@ -177,3 +177,42 @@ def test_quantized_rejects_unknown_facet():
     img = jnp.zeros((1, 56, 56, 3))
     with pytest.raises(ValueError):
         vit_features_quant(qp, cfg, img, layer=0, facet="bogus")
+
+
+def test_serving_fastpath_velocities_match_baseline():
+    """The candidate serving configuration (quant_attn='nomax' +
+    pp_precision='default') must produce servo velocities equivalent to the
+    validated int8 baseline through the FULL pipeline (bench.py's graph)."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rollout import tiny_setup
+    from vitvs_tpu.control import EmaState
+    from vitvs_tpu.harness.pipeline import goal_descriptors, servo_step
+
+    params, model, scene = tiny_setup(pixel_identity=True)
+    base = dataclasses.replace(model, quantized=True)
+    qp = quantize_vit_params(params)
+    fast = dataclasses.replace(
+        base, pp_precision="default",
+        vit=dataclasses.replace(base.vit, quant_attn="nomax"))
+
+    rng = np.random.default_rng(3)
+    goal_rgb = jnp.asarray(rng.random((128, 128, 3)), jnp.float32)
+    cur_rgb = jnp.asarray(np.clip(np.asarray(goal_rgb)
+                                  + rng.normal(0, 0.05, (128, 128, 3)), 0, 1),
+                          jnp.float32)
+    depth = jnp.full((128, 128), 0.61, jnp.float32)
+    ema = EmaState(jnp.zeros(6), jnp.zeros((), bool))
+    prev = jnp.zeros(6)
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for name, m in (("base", base), ("fast", fast)):
+        goal = goal_descriptors(qp, m, goal_rgb)
+        outs[name] = servo_step(qp, m, goal, cur_rgb, depth, ema, prev, key)
+    vb = np.asarray(outs["base"].v_c)
+    vf = np.asarray(outs["fast"].v_c)
+    scale = max(np.abs(vb).max(), 1e-6)
+    assert bool(outs["fast"].feature_ok) == bool(outs["base"].feature_ok)
+    np.testing.assert_allclose(vf, vb, atol=0.05 * scale)
