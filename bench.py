@@ -45,11 +45,18 @@ def main():
 
     cfg = VSConfig(dino_input_size=518, model_name="dinov2_vitb14", layer=11,
                    pinv_mode="dls")
-    # production serving configuration: int8 W8A8 projections (validated to
-    # preserve the matching structure, tests/test_quant.py), tanh GELU,
-    # bf16 elsewhere
+    # production serving configuration: int8 W8A8 projections
+    # (convergence-validated end-to-end — 98.6% over the 500-episode real-
+    # poster sweep, docs/TASK_VALIDATION.md run O), 'nomax' deferred-
+    # normalize attention (clamped-logit softmax without the row-max pass;
+    # full-pipeline velocity equivalence in tests/test_quant.py), bf16
+    # single-pass preprocess resize (error below 8-bit sensor quantization),
+    # tanh GELU, bf16 elsewhere.  Interleaved A/B (scripts/ab_attn.py):
+    # 2.315 ms/iter vs 2.52 xla-softmax / 2.37 plain-nomax.
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
-    model = dataclasses.replace(model, quantized=True)
+    model = dataclasses.replace(
+        model, quantized=True, pp_precision="default",
+        vit=dataclasses.replace(model.vit, quant_attn="nomax"))
     params = quantize_vit_params(vit_mod.init_vit(model.vit, jax.random.PRNGKey(0)))
 
     rng = np.random.default_rng(0)

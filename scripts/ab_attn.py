@@ -54,13 +54,20 @@ def main():
     depth = jax.device_put(jnp.full((cfg.v_max, cfg.u_max), 0.61, jnp.float32))
 
     variants = {}
-    for impl in args.variants.split(","):
+    for spec in args.variants.split(","):
+        # spec grammar: ATTN[+ppPREC], e.g. "nomax", "nomax+ppdefault",
+        # "xla+pphigh" — ppPREC sets ServoModel.pp_precision on top of the
+        # attention choice.
+        impl, _, pp = spec.partition("+pp")
         if impl in ("pv", "qk+pv", "fused", "nomax"):
             # int8 attention modes (models/quant.py) rather than attn_impl
             vit = dataclasses.replace(base.vit, quant_attn=impl)
         else:
             vit = dataclasses.replace(base.vit, attn_impl=impl)
-        variants[impl] = dataclasses.replace(base, vit=vit)
+        model = dataclasses.replace(base, vit=vit)
+        if pp:
+            model = dataclasses.replace(model, pp_precision=pp)
+        variants[spec] = model
 
     goal = jax.jit(lambda p, f: goal_descriptors(p, base, f))(params, frames[0])
     jax.block_until_ready(goal)

@@ -59,6 +59,11 @@ def main():
     ap.add_argument("what", choices=["step", "desc"], nargs="?", default="desc")
     ap.add_argument("--quant", action="store_true")
     ap.add_argument("--attn", default="xla")
+    ap.add_argument("--qattn", default=None,
+                    help="int8 attention mode (models/quant.py quant_attn):"
+                         " pv | qk+pv | fused | nomax")
+    ap.add_argument("--pp", default=None,
+                    help="preprocess resize precision (ServoModel.pp_precision)")
     ap.add_argument("--model", default="dinov2_vitb14")
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--chain", type=int, default=20)
@@ -82,6 +87,10 @@ def main():
                    pinv_mode="dls")
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
     model = dc.replace(model, vit=dc.replace(model.vit, attn_impl=args.attn))
+    if args.qattn:
+        model = dc.replace(model, vit=dc.replace(model.vit, quant_attn=args.qattn))
+    if args.pp:
+        model = dc.replace(model, pp_precision=args.pp)
     params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(0))
     if args.quant:
         from vitvs_tpu.models.quant import quantize_vit_params

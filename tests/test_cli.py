@@ -1,5 +1,7 @@
 """CLI and classical-benchmark smoke tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -44,6 +46,37 @@ def test_classical_benchmark_smoke(tmp_path):
         perturbation=True)
     assert stats_p.num_samples == 2
     assert path_p.endswith("results_smoke_sift_perturbed.npz")
+
+
+def test_classical_benchmark_checkpoint_resume(tmp_path):
+    """Classical sweeps checkpoint/resume like the dino harness (the orb/
+    akaze binary pipelines run 1-3 h per 64-episode sweep; CLI --resume)."""
+    from vitvs_tpu.classical.benchmark import run_classical_benchmark
+    from vitvs_tpu.io_bridge.config import VSConfig
+    from vitvs_tpu.sim import Scene, make_synthetic_poster
+
+    cfg = VSConfig(u_max=128, v_max=128, f_x=100.5, f_y=100.5,
+                   num_pairs=12, lambda_=0.5, control_dt=0.1,
+                   num_samples=4, num_circles=2, max_iterations=6,
+                   pinv_mode="dls")
+    scene = Scene.create(make_synthetic_poster(128, seed=1))
+    ckpt = str(tmp_path / "classical.pkl")
+    stats, path, _ = run_classical_benchmark(
+        cfg, scene=scene, out_dir=str(tmp_path), config_name="ck",
+        method="sift", chunk=2, num_steps=6, max_corners=128, verbose=False,
+        checkpoint_path=ckpt)
+    assert stats.num_samples == 4
+    assert os.path.exists(ckpt)
+    flags1 = np.load(path, allow_pickle=True)["convergence_flags"]
+
+    # resume with a full checkpoint: no rollout work, identical results
+    stats2, path2, _ = run_classical_benchmark(
+        cfg, scene=scene, out_dir=str(tmp_path), config_name="ck2",
+        method="sift", chunk=2, num_steps=6, max_corners=128, verbose=False,
+        checkpoint_path=ckpt)
+    assert stats2.num_samples == 4
+    np.testing.assert_array_equal(
+        np.load(path2, allow_pickle=True)["convergence_flags"], flags1)
 
 
 def test_cli_rejects_int8_for_classical():

@@ -6,6 +6,8 @@ method={sift,orb,akaze} in the filename."""
 
 from __future__ import annotations
 
+import os
+import pickle
 import time
 
 import numpy as np
@@ -33,7 +35,13 @@ def run_classical_benchmark(
     perturb_seed: int = 489,
     save: bool = True,
     verbose: bool = True,
+    checkpoint_path: str | None = None,
 ):
+    """`checkpoint_path` enables the same episode-level checkpoint/resume as
+    the dino harness (harness/benchmark.py): completed episodes are pickled
+    after every chunk and a re-run with the same path continues from the
+    first missing chunk boundary.  The long binary pipelines (orb/akaze at
+    ~50 ms/env-step) need this most — a 64-episode sweep is 1-3 h of wall."""
     t_start = time.time()
     cfg = cfg.replace(divergence_multiplier=5.0,       # ibvs_standard.py:215
                       early_divergence_abort=True)     # ibvs_standard.py:459-464
@@ -166,7 +174,14 @@ def run_classical_benchmark(
         return finalize_chunk(carry, full_ys)
 
     episodes = []
-    for lo in range(0, n, chunk):
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path, "rb") as fh:
+            episodes = pickle.load(fh)
+        if verbose:
+            print(f"[bench:{method}] resumed {len(episodes)} episodes "
+                  f"from {checkpoint_path}")
+
+    for lo in range(len(episodes), n, chunk):
         hi = min(lo + chunk, n)
         pad = chunk - (hi - lo)
 
@@ -183,6 +198,11 @@ def run_classical_benchmark(
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
+        if checkpoint_path:
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump(episodes, fh)
+            os.replace(tmp, checkpoint_path)
         if verbose:
             done = sum(bool(e.converged) for e in episodes)
             print(f"[bench:{method}] episodes {hi}/{n}; converged: {done}")

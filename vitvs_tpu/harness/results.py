@@ -92,6 +92,9 @@ def save_results(
         path = os.path.join(path_or_dir, fname)
     else:
         path = path_or_dir
+    # a sweep can run for hours before reaching this save — never let a
+    # missing --out directory discard it
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
 
     arrays = {}
     for k, v in summaries.items():

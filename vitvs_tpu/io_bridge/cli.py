@@ -126,7 +126,7 @@ def main(argv=None):
             cfg, scene=scene, out_dir=args.out, config_name=config_name,
             method=args.method if args.method != "classical" else "sift",
             perturbation=args.perturbation, chunk=args.chunk,
-            num_steps=args.num_steps,
+            num_steps=args.num_steps, checkpoint_path=args.resume,
         )
 
     print(f"results: {path}")
