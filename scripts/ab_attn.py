@@ -54,11 +54,15 @@ def main():
     depth = jax.device_put(jnp.full((cfg.v_max, cfg.u_max), 0.61, jnp.float32))
 
     variants = {}
+    cal_params = None
     for spec in args.variants.split(","):
-        # spec grammar: ATTN[+ppPREC], e.g. "nomax", "nomax+ppdefault",
-        # "xla+pphigh" — ppPREC sets ServoModel.pp_precision on top of the
-        # attention choice.
+        # spec grammar: ATTN[+cal][+ppPREC], e.g. "nomax", "nomax+ppdefault",
+        # "nomax+cal+ppdefault" — ppPREC sets ServoModel.pp_precision; 'cal'
+        # swaps in statically-calibrated activation scales (SmoothQuant fold,
+        # models/quant.py) calibrated on the staged frames.
         impl, _, pp = spec.partition("+pp")
+        impl, nofuse, _ = impl.partition("+nofuse")
+        impl, cal, _ = impl.partition("+cal")
         if impl in ("pv", "qk+pv", "fused", "nomax"):
             # int8 attention modes (models/quant.py) rather than attn_impl
             vit = dataclasses.replace(base.vit, quant_attn=impl)
@@ -67,10 +71,16 @@ def main():
         model = dataclasses.replace(base, vit=vit)
         if pp:
             model = dataclasses.replace(model, pp_precision=pp)
-        variants[spec] = model
+        if nofuse:
+            model = dataclasses.replace(model, fused_bin_quant=False)
+        if cal and cal_params is None:
+            from vitvs_tpu.harness.pipeline import preprocess
 
-    goal = jax.jit(lambda p, f: goal_descriptors(p, base, f))(params, frames[0])
-    jax.block_until_ready(goal)
+            calib = jax.vmap(lambda f: preprocess(base, f))(frames)
+            cal_params = quantize_vit_params(
+                vit_mod.init_vit(base.vit, jax.random.PRNGKey(0)),
+                cfg=base.vit, calib_images=calib, layer=11)
+        variants[spec] = (model, cal_params if cal else None)
 
     def make_chain(model, n):
         @jax.jit
@@ -93,21 +103,27 @@ def main():
         return run
 
     chains = {}
-    for name, model in variants.items():
+    for name, (model, p_override) in variants.items():
+        p = params if p_override is None else p_override
+        # goal recomputed per variant: its pytree TYPE depends on the model
+        # (QuantizedBinned on the source-quantized path, raw (t, d) otherwise)
+        g = jax.jit(lambda pp, f, m=model: goal_descriptors(pp, m, f))(
+            p, frames[0])
+        jax.block_until_ready(g)
         for n in (CHAIN_SHORT, CHAIN_LONG):
             t0 = time.time()
             fn = make_chain(model, n)
-            out = np.asarray(fn(params, goal, frames, depth, jax.random.PRNGKey(0)))
-            chains[(name, n)] = fn
+            out = np.asarray(fn(p, g, frames, depth, jax.random.PRNGKey(0)))
+            chains[(name, n)] = (fn, p, g)
             print(f"[compile] {name} n={n}: {time.time()-t0:.0f}s "
                   f"v_c[-1]={out[-1][:3]}", flush=True)
 
     best = {k: float("inf") for k in chains}
     for r in range(REPS):
         for key_ in chains:
-            fn = chains[key_]
+            fn, p, g = chains[key_]
             t0 = time.perf_counter()
-            np.asarray(fn(params, goal, frames, depth, jax.random.PRNGKey(r + 1)))
+            np.asarray(fn(p, g, frames, depth, jax.random.PRNGKey(r + 1)))
             best[key_] = min(best[key_], time.perf_counter() - t0)
         print(f"[rep {r}] " + "  ".join(
             f"{k[0]}/{k[1]}={best[k]*1e3:.1f}ms" for k in sorted(chains)),

@@ -181,6 +181,34 @@ def test_factorized_binned_similarity_matches_materialized():
     np.testing.assert_allclose(fast, slow, atol=2e-5)
 
 
+def test_source_quantized_binned_matches_materialized_int8():
+    """quantize_binned_int8 (the fused serving path: bin + normalize +
+    quantize in one pass, no bf16 binned tensor) must reproduce the
+    materialize-then-quantize int8 similarity: the quantization grid is
+    scale-invariant under row normalization, so the values only differ by
+    where the bf16 rounding lands."""
+    from vitvs_tpu.match.binned import quantize_binned_int8
+    from vitvs_tpu.models.extractor import log_bin
+
+    gh, gw = 6, 5
+    d1 = jnp.asarray(RNG.standard_normal((gh * gw, 24)).astype(np.float32))
+    d2 = jnp.asarray(RNG.standard_normal((gh * gw, 24)).astype(np.float32))
+    q1 = quantize_binned_int8(d1, (gh, gw))
+    q2 = quantize_binned_int8(d2, (gh, gw))
+    fused = np.asarray(C.cosine_similarity_matrix(q1, q2))
+
+    b1 = log_bin(d1[None], (gh, gw))[0]
+    b2 = log_bin(d2[None], (gh, gw))[0]
+    mat = np.asarray(C.cosine_similarity_matrix(b1, b2, int8=True))
+    np.testing.assert_allclose(fused, mat, atol=2e-3)
+    assert (fused.argmax(1) == mat.argmax(1)).mean() > 0.96
+
+    # the int8 values themselves match quantizing the materialized rows
+    amax = np.max(np.abs(np.asarray(b2)), axis=-1, keepdims=True)
+    expect = np.clip(np.round(np.asarray(b2) * (127.0 / amax)), -127, 127)
+    np.testing.assert_array_equal(np.asarray(q2.q), expect.astype(np.int8))
+
+
 def test_factorized_binned_int8_close():
     from vitvs_tpu.match.binned import binned_cosine_similarity
 

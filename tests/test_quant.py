@@ -179,6 +179,48 @@ def test_quantized_rejects_unknown_facet():
         vit_features_quant(qp, cfg, img, layer=0, facet="bogus")
 
 
+def test_source_quantized_bins_velocities_match_materialized():
+    """fused_bin_quant (quantize the binned descriptors at the source —
+    match/binned.quantize_binned_int8, no bf16 binned tensor) must produce
+    servo velocities equivalent to the materialize-then-quantize int8 path
+    through the FULL pipeline.  The int8 values are identical by
+    construction (test_match.py), so the only divergence is where bf16
+    rounding lands on the materialized rows."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rollout import tiny_setup
+    from vitvs_tpu.control import EmaState
+    from vitvs_tpu.harness.pipeline import goal_descriptors, servo_step
+
+    params, model, scene = tiny_setup(pixel_identity=True)
+    qp = quantize_vit_params(params)
+    fused = dataclasses.replace(model, quantized=True, fused_bin_quant=True)
+    mat = dataclasses.replace(model, quantized=True, fused_bin_quant=False)
+    assert fused.source_quantized_bins and not mat.source_quantized_bins
+
+    rng = np.random.default_rng(7)
+    goal_rgb = jnp.asarray(rng.random((128, 128, 3)), jnp.float32)
+    cur_rgb = jnp.asarray(np.clip(np.asarray(goal_rgb)
+                                  + rng.normal(0, 0.05, (128, 128, 3)), 0, 1),
+                          jnp.float32)
+    depth = jnp.full((128, 128), 0.61, jnp.float32)
+    ema = EmaState(jnp.zeros(6), jnp.zeros((), bool))
+    prev = jnp.zeros(6)
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for name, m in (("fused", fused), ("mat", mat)):
+        goal = goal_descriptors(qp, m, goal_rgb)
+        outs[name] = servo_step(qp, m, goal, cur_rgb, depth, ema, prev, key)
+    vm = np.asarray(outs["mat"].v_c)
+    vf = np.asarray(outs["fused"].v_c)
+    assert bool(outs["fused"].feature_ok) == bool(outs["mat"].feature_ok)
+    assert int(outs["fused"].num_valid) == int(outs["mat"].num_valid)
+    scale = max(np.abs(vm).max(), 1e-6)
+    np.testing.assert_allclose(vf, vm, atol=0.05 * scale)
+
+
 def test_serving_fastpath_velocities_match_baseline():
     """The candidate serving configuration (quant_attn='nomax' +
     pp_precision='default') must produce servo velocities equivalent to the

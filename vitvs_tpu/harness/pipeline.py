@@ -76,6 +76,17 @@ class ServoModel:
     # 'highest' = f32-exact parity default; 'high' ~f32 at 2x; 'default' =
     # single-pass bf16, error below 8-bit sensor quantization (serving)
     pp_precision: str = "highest"
+    # int8 serving only: quantize the binned descriptors AT THE SOURCE
+    # (match/binned.quantize_binned_int8) — the (t, 9D) bf16 binned tensor
+    # never materializes; quantized values are identical to quantizing the
+    # materialized descriptors, so this only removes HBM traffic.  The goal /
+    # current descriptors then travel as QuantizedBinned pytrees.
+    fused_bin_quant: bool = True
+
+    @property
+    def source_quantized_bins(self) -> bool:
+        return (self.quantized and self.materialize_bins
+                and self.fused_bin_quant and not self.use_match_kernel)
 
     @staticmethod
     def create(cfg: VSConfig, compute_dtype=None, precision=None,
@@ -146,16 +157,22 @@ def preprocess(model: ServoModel, rgb: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def goal_descriptors(params: ViTParams, model: ServoModel, goal_rgb: jnp.ndarray) -> jnp.ndarray:
-    """Per-episode goal descriptor precompute -> (t, d)."""
+def goal_descriptors(params: ViTParams, model: ServoModel, goal_rgb: jnp.ndarray):
+    """Per-episode goal descriptor precompute -> (t, d), or a QuantizedBinned
+    pytree on the source-quantized int8 serving path."""
     x = preprocess(model, goal_rgb)[None]
+    src_q = model.source_quantized_bins
     desc = extract_descriptors(
         params, model.vit, x, layer=model.cfg.layer, facet=model.cfg.facet,
-        bin=model.materialize_bins,
+        bin=model.materialize_bins and not src_q,
         compute_dtype=model.compute_dtype, precision=model.precision,
         quantized=model.quantized,
-    )
-    return desc[0, 0]
+    )[0, 0]
+    if src_q:
+        from vitvs_tpu.match.binned import quantize_binned_int8
+
+        return quantize_binned_int8(desc, model.grid())
+    return desc
 
 
 def servo_step(
@@ -180,14 +197,19 @@ def servo_step(
     k = num_pairs or cfg.num_pairs
 
     x = preprocess(model, frame_rgb)[None]
+    src_q = model.source_quantized_bins
     cur_desc = extract_descriptors(
         params, model.vit, x, layer=cfg.layer, facet=cfg.facet,
-        bin=model.materialize_bins,
+        bin=model.materialize_bins and not src_q,
         compute_dtype=model.compute_dtype, precision=model.precision,
         quantized=model.quantized,
     )[0, 0]
 
     grid = model.grid()
+    if src_q:
+        from vitvs_tpu.match.binned import quantize_binned_int8
+
+        cur_desc = quantize_binned_int8(cur_desc, grid)
     sim_matrix = None
     if model.binned and model.fast_binned_match:
         from vitvs_tpu.match.binned import binned_cosine_similarity

@@ -251,14 +251,19 @@ def find_best_start_pose(
         return preprocess(model, rgb)
 
     frames = jax.vmap(render_one)(quats)  # (A, S, S, 3)
+    src_q = model.source_quantized_bins
     descs = extract_descriptors(
         params, model.vit, frames, layer=cfg.layer, facet=cfg.facet,
-        bin=model.materialize_bins,
+        bin=model.materialize_bins and not src_q,
         compute_dtype=model.compute_dtype, precision=model.precision,
         quantized=model.quantized,
     )[:, 0]  # (A, t, d)
 
     grid = model.grid()
+    if src_q:
+        from vitvs_tpu.match.binned import quantize_binned_int8
+
+        descs = jax.vmap(lambda d: quantize_binned_int8(d, grid))(descs)
     keys = jax.random.split(key, len(angles_deg))
 
     def score_one(desc, k):

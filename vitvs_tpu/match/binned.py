@@ -20,9 +20,70 @@ Exact identity with the materialized path up to float associativity
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+class QuantizedBinned(NamedTuple):
+    """int8 hierarchy-1 log-binned descriptors, quantized at the source.
+
+    `q` holds `round(binned_row * 127 / amax(binned_row))` — identical values
+    to quantizing the materialized bf16 binned descriptors (the per-row
+    normalization the cosine path applies first is scale-invariant, so it
+    cancels out of the quantization grid).  `nq = sum(q^2)` per row: in the
+    cosine similarity all per-row scales cancel, leaving
+    `sim = (qa @ qb^T) * rsqrt(nqa) * rsqrt(nqb)` — the same arithmetic as
+    correspondence.cosine_similarity_matrix(int8=True) after algebraic
+    cancellation of its sa/sb factors.
+    """
+
+    q: jnp.ndarray    # (t, 9D) int8
+    nq: jnp.ndarray   # (t,) float32  — sum of squared int8 values per row
+
+
+def quantize_binned_int8(base: jnp.ndarray, grid: tuple[int, int]) -> QuantizedBinned:
+    """UNBINNED (t, D) descriptors -> int8 binned descriptors, in ONE fused
+    pass — the (t, 9D) bf16 binned tensor never materializes.
+
+    Serving-path profile motivation (ViT-B@518, t=1369, 9D=6912): the
+    materialize-then-quantize chain writes + re-reads ~19 MB of bf16 binned
+    descriptors three times per frame (log_bin concat, cosine normalize,
+    amax+quantize) — ~150 MB of pure HBM traffic.  Here the row amax
+    factorizes over the 9 shifts (amax of a concat = max of the parts'
+    amaxes), so the quantization scale comes from a 2 MB pass over the BASE
+    descriptors, and each int8 output bin is `round(shifted_base * inv)`
+    written directly.
+
+    Bin order and edge-clamp semantics match extractor.log_bin (hierarchy 1)
+    exactly; see `_shift_maps` for the index mapping.
+    """
+    t, D = base.shape
+    gh, gw = grid
+    assert t == gh * gw
+    x = base.reshape(gh, gw, D)
+
+    amax0 = jnp.max(jnp.abs(x), -1).astype(jnp.float32)      # (gh, gw)
+    a_p = jnp.pad(amax0, ((1, 1), (1, 1)), mode="edge")
+    amax9 = jnp.zeros((gh, gw), jnp.float32)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            amax9 = jnp.maximum(
+                amax9, jax.lax.dynamic_slice(a_p, (dy, dx), (gh, gw)))
+    inv = (127.0 / jnp.maximum(amax9, 1e-12)).astype(base.dtype)[..., None]
+
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    parts = []
+    for dy in (0, 1, 2):          # log_bin offset order: dy outer, dx inner
+        for dx in (0, 1, 2):
+            sl = jax.lax.dynamic_slice(xp, (dy, dx, 0), (gh, gw, D))
+            parts.append(jnp.clip(jnp.round(sl * inv), -127, 127)
+                         .astype(jnp.int8))
+    q = jnp.concatenate(parts, axis=-1).reshape(t, 9 * D)
+    nq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
+    return QuantizedBinned(q=q, nq=nq)
 
 
 def _shift_maps(grid: tuple[int, int]) -> np.ndarray:

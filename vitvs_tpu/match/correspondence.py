@@ -71,6 +71,19 @@ def cosine_similarity_matrix(
     rounding error (~0.4% of the unit similarity scale — far below matching
     noise)."""
 
+    from vitvs_tpu.match.binned import QuantizedBinned
+
+    if isinstance(desc1, QuantizedBinned) or isinstance(desc2, QuantizedBinned):
+        # source-quantized int8 binned descriptors (match/binned.py): all
+        # per-row scales cancel in the cosine, leaving the int8 matmul and
+        # the quantized-row norms
+        assert isinstance(desc1, QuantizedBinned) and isinstance(desc2, QuantizedBinned)
+        acc = jax.lax.dot_general(desc1.q, desc2.q, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32)
+                * jax.lax.rsqrt(desc1.nq + 1e-12)[:, None]
+                * jax.lax.rsqrt(desc2.nq + 1e-12)[None, :])
+
     def _normalize(d):
         sq = jnp.sum(jnp.square(d.astype(jnp.float32)), -1, keepdims=True)
         return d * jax.lax.rsqrt(sq + 1e-24).astype(d.dtype)
@@ -126,10 +139,14 @@ def find_correspondences(
     fused Pallas kernel (ops/matcher.py) — the (t x t) matrix never leaves
     VMEM.  Off-TPU the kernel falls back to the XLA path automatically.
     """
+    from vitvs_tpu.match.binned import QuantizedBinned
+
     gh, gw = num_patches
-    t = desc1.shape[0]
+    t = (desc1.q if isinstance(desc1, QuantizedBinned) else desc1).shape[0]
     assert t == gh * gw
 
+    if isinstance(desc1, QuantizedBinned):
+        assert not use_kernel, "Pallas matcher takes raw descriptors"
     if use_kernel and sim_matrix is None:
         from vitvs_tpu.ops.matcher import dual_argmax_cosine
 
@@ -209,8 +226,17 @@ def refine_matches_subpixel(
     image's positions become continuous, which removes the quantization from
     the IBVS error signal e = s − s*.
     """
+    from vitvs_tpu.match.binned import QuantizedBinned
+
     gh, gw = num_patches
     f32 = jnp.float32
+
+    if isinstance(desc1, QuantizedBinned):
+        # source-quantized serving path: gather the int8 rows — the per-row
+        # unit normalization below cancels their quantization scales, so the
+        # only difference from the bf16 path is the int8 rounding grid
+        # (~0.8% of row amax per element, averaged out over the 9D-wide dot)
+        desc1, desc2 = desc1.q, desc2.q
 
     def _unit_rows(x):
         x = x.astype(f32)
