@@ -45,19 +45,20 @@ def main():
 
     cfg = VSConfig(dino_input_size=518, model_name="dinov2_vitb14", layer=11,
                    pinv_mode="dls")
-    # production serving configuration: int8 W8A8 projections
-    # (convergence-validated end-to-end — 98.6% over the 500-episode real-
-    # poster sweep, docs/TASK_VALIDATION.md run O), 'nomax' deferred-
-    # normalize attention (clamped-logit softmax without the row-max pass;
-    # full-pipeline velocity equivalence in tests/test_quant.py), bf16
-    # single-pass preprocess resize (error below 8-bit sensor quantization),
-    # tanh GELU, bf16 elsewhere.  Interleaved A/B (scripts/ab_attn.py):
-    # 2.315 ms/iter vs 2.52 xla-softmax / 2.37 plain-nomax.
+    # production serving configuration: int8 W8A8 projections with STATIC
+    # calibrated activation scales (SmoothQuant fold, models/quant.py;
+    # convergence-validated end-to-end on the 500-episode real-poster sweep,
+    # docs/TASK_VALIDATION.md runs O/P), 'nomax' deferred-normalize attention
+    # (clamped-logit softmax without the row-max pass), source-quantized
+    # binned descriptors (match/binned.py), bf16 single-pass preprocess
+    # resize (error below 8-bit sensor quantization), tanh GELU, bf16
+    # elsewhere.  All velocity-equivalence-tested through the full pipeline
+    # (tests/test_quant.py).  Interleaved A/B ledger (scripts/ab_attn.py):
+    # static scales 2.085 vs 2.163 dynamic; fused bin-quant 2.165 vs 2.302.
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
     model = dataclasses.replace(
         model, quantized=True, pp_precision="default",
         vit=dataclasses.replace(model.vit, quant_attn="nomax"))
-    params = quantize_vit_params(vit_mod.init_vit(model.vit, jax.random.PRNGKey(0)))
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((N_FRAMES, cfg.v_max, cfg.u_max, 3)),
@@ -65,6 +66,13 @@ def main():
     depth = jnp.full((cfg.v_max, cfg.u_max), 0.61, jnp.float32)
     frames = jax.device_put(frames)
     depth = jax.device_put(depth)
+
+    from vitvs_tpu.harness.pipeline import preprocess
+
+    calib = jax.jit(jax.vmap(lambda f: preprocess(model, f)))(frames)
+    params = quantize_vit_params(
+        vit_mod.init_vit(model.vit, jax.random.PRNGKey(0)),
+        cfg=model.vit, calib_images=calib, layer=cfg.layer)
 
     goal = jax.jit(lambda p, f: goal_descriptors(p, model, f))(params, frames[0])
     jax.block_until_ready(goal)

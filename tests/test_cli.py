@@ -82,3 +82,33 @@ def test_classical_benchmark_checkpoint_resume(tmp_path):
 def test_cli_rejects_int8_for_classical():
     with pytest.raises(SystemExit):
         cli.main(["--method", "sift", "--int8"])
+
+
+def test_cli_rejects_static_without_int8():
+    with pytest.raises(SystemExit):
+        cli.main(["--method", "dino", "--int8-static"])
+
+
+def test_cli_int8_static_and_dt_threaded(monkeypatch, tmp_path):
+    """--int8-static reaches run_benchmark and --control-dt overrides the
+    config (with npz-name disambiguation for both)."""
+    seen = {}
+
+    def fake_run(cfg, **kw):
+        seen["cfg"] = cfg
+        seen.update(kw)
+
+        class S:  # minimal stats shape for the CLI's summary print
+            convergence_rate, num_converged, num_samples = 0.0, 0, 0
+
+        return S, None, None
+
+    import vitvs_tpu.harness.benchmark as bench_mod
+
+    monkeypatch.setattr(bench_mod, "run_benchmark", fake_run)
+    cli.main(["--method", "dino", "--int8", "--int8-static",
+              "--control-dt", "0.2", "--num-samples", "2",
+              "--out", str(tmp_path)])
+    assert seen["quantized"] and seen["int8_static"]
+    assert seen["cfg"].control_dt == 0.2
+    assert seen["config_name"].endswith("_int8cal_dt0.2")

@@ -179,6 +179,49 @@ def test_quantized_rejects_unknown_facet():
         vit_features_quant(qp, cfg, img, layer=0, facet="bogus")
 
 
+def test_static_calibrated_serving_velocities_match_dynamic():
+    """The static-calibrated serving configuration (per-tensor activation
+    scales + SmoothQuant fold — the bench.py config) must produce servo
+    velocities equivalent to the dynamic-scale int8 path through the FULL
+    pipeline, when calibrated on frames from the same distribution."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rollout import tiny_setup
+    from vitvs_tpu.control import EmaState
+    from vitvs_tpu.harness.pipeline import (goal_descriptors, preprocess,
+                                            servo_step)
+
+    params, model, scene = tiny_setup(pixel_identity=True)
+    m = dataclasses.replace(model, quantized=True)
+
+    rng = np.random.default_rng(11)
+    goal_rgb = jnp.asarray(rng.random((128, 128, 3)), jnp.float32)
+    cur_rgb = jnp.asarray(np.clip(np.asarray(goal_rgb)
+                                  + rng.normal(0, 0.05, (128, 128, 3)), 0, 1),
+                          jnp.float32)
+    calib = jnp.stack([preprocess(m, goal_rgb), preprocess(m, cur_rgb)])
+    qp_dyn = quantize_vit_params(params)
+    qp_cal = quantize_vit_params(params, cfg=m.vit, calib_images=calib,
+                                 layer=m.cfg.layer)
+    assert "act_scales" in qp_cal["blocks"]
+
+    depth = jnp.full((128, 128), 0.61, jnp.float32)
+    ema = EmaState(jnp.zeros(6), jnp.zeros((), bool))
+    prev = jnp.zeros(6)
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for name, qp in (("dyn", qp_dyn), ("cal", qp_cal)):
+        goal = goal_descriptors(qp, m, goal_rgb)
+        outs[name] = servo_step(qp, m, goal, cur_rgb, depth, ema, prev, key)
+    vd = np.asarray(outs["dyn"].v_c)
+    vc = np.asarray(outs["cal"].v_c)
+    assert bool(outs["cal"].feature_ok) == bool(outs["dyn"].feature_ok)
+    scale = max(np.abs(vd).max(), 1e-6)
+    np.testing.assert_allclose(vc, vd, atol=0.08 * scale)
+
+
 def test_source_quantized_bins_velocities_match_materialized():
     """fused_bin_quant (quantize the binned descriptors at the source —
     match/binned.quantize_binned_int8, no bf16 binned tensor) must produce

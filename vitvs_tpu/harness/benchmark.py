@@ -76,6 +76,7 @@ def run_benchmark(
     checkpoint_path: str | None = None,
     mesh=None,
     quantized: bool = False,
+    int8_static: bool = False,
 ):
     """`checkpoint_path` enables episode-level checkpoint/resume: after every
     chunk the completed episode results are pickled there, and a re-run with
@@ -97,6 +98,7 @@ def run_benchmark(
     if model is None:
         params, model = build_model(cfg, params)
     assert params is not None, "pass params when supplying a prebuilt model"
+    scene = scene or build_scene()
     if quantized and not model.quantized:
         # int8 W8A8 serving path for the full closed-loop sweep — the
         # convergence validation of the configuration bench.py measures
@@ -104,7 +106,27 @@ def run_benchmark(
 
         from vitvs_tpu.models.quant import quantize_vit_params
 
-        params = quantize_vit_params(params, compute_dtype=model.compute_dtype)
+        calib = None
+        if int8_static:
+            # static per-tensor activation scales (SmoothQuant fold,
+            # models/quant.py) calibrated on REAL views of this scene: the
+            # goal view + the first sampled start poses — the activation
+            # distribution the sweep will actually serve
+            from vitvs_tpu.harness.pipeline import preprocess as _pp
+
+            cpos, cquats, cn = samplers.generate_episode_starts(cfg, seed=seed)
+            views = [(jnp.asarray(samplers.DESIRED_POSITION, jnp.float32),
+                      jnp.asarray(samplers.DESIRED_ORIENTATION, jnp.float32))]
+            views += [(jnp.asarray(cpos[i], jnp.float32),
+                       jnp.asarray(cquats[i], jnp.float32))
+                      for i in range(min(7, cn))]
+            imgs = jnp.stack([observe(scene, model.camera, p, q)[0]
+                              for p, q in views])
+            calib = jax.jit(jax.vmap(lambda f: _pp(model, f)))(imgs)
+        params = quantize_vit_params(
+            params, cfg=model.vit if calib is not None else None,
+            calib_images=calib, layer=cfg.layer,
+            compute_dtype=model.compute_dtype)
         model = _dc.replace(model, quantized=True)
     elif not model.quantized:
         # pre-cast f32 master weights to the compute dtype once: vit_features
@@ -113,7 +135,6 @@ def run_benchmark(
         params = jax.tree.map(
             lambda a: a.astype(model.compute_dtype)
             if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, params)
-    scene = scene or build_scene()
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P

@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--no-rotation-search", action="store_true")
     p.add_argument("--num-samples", type=int, default=None,
                    help="override config num_samples")
+    p.add_argument("--control-dt", type=float, default=None,
+                   help="override config control_dt (sim integration period"
+                        " per controller iteration; for dt-sensitivity"
+                        " sweeps of the convergence ladder)")
     p.add_argument("--num-steps", type=int, default=None,
                    help="cap rollout length (default: config max_iterations)")
     p.add_argument("--checkpoint", default=None,
@@ -63,6 +67,10 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the ViT on the int8 W8A8 path (the bench.py"
                         " configuration) instead of bf16")
+    p.add_argument("--int8-static", action="store_true",
+                   help="with --int8: static per-tensor activation scales"
+                        " (SmoothQuant fold) calibrated on rendered scene"
+                        " views, instead of per-token dynamic scales")
     args = p.parse_args(argv)
 
     from vitvs_tpu.io_bridge.config import VSConfig, load_config
@@ -70,6 +78,8 @@ def main(argv=None):
     cfg = load_config(args.config) if args.config else VSConfig()
     if args.num_samples:
         cfg = cfg.replace(num_samples=args.num_samples)
+    if args.control_dt:
+        cfg = cfg.replace(control_dt=args.control_dt)
     if args.method in CLASSICAL_METHODS:
         # classical controller uses the 5x divergence abort (ibvs_standard.py:215)
         cfg = cfg.replace(divergence_multiplier=5.0, early_divergence_abort=True)
@@ -80,6 +90,8 @@ def main(argv=None):
 
         params = load_params(args.checkpoint)
 
+    if args.int8_static and not args.int8:
+        p.error("--int8-static requires --int8")
     if args.method != "dino" and (args.int8 or args.mesh):
         p.error(f"--int8/--mesh apply to the dino pipeline only; "
                 f"--method {args.method} runs the classical controller "
@@ -88,7 +100,10 @@ def main(argv=None):
     config_name = (os.path.splitext(os.path.basename(args.config))[0]
                    if args.config else "config")
     if args.int8:
-        config_name += "_int8"   # keep int8 sweeps from shadowing bf16 npz
+        # keep int8 sweeps from shadowing bf16 npz (and static from dynamic)
+        config_name += "_int8cal" if args.int8_static else "_int8"
+    if args.control_dt:
+        config_name += f"_dt{args.control_dt:g}"   # dt-sensitivity sweeps
 
     scene = None   # None -> the benchmark drivers load the real poster scene
     if args.poster == "synthetic":
@@ -117,7 +132,7 @@ def main(argv=None):
             rotation_search=not args.no_rotation_search,
             chunk=args.chunk, num_steps=args.num_steps,
             checkpoint_path=args.resume, mesh=mesh,
-            quantized=args.int8,
+            quantized=args.int8, int8_static=args.int8_static,
         )
     else:
         from vitvs_tpu.classical.benchmark import run_classical_benchmark
