@@ -63,11 +63,14 @@ def main():
         impl, _, pp = spec.partition("+pp")
         impl, nofuse, _ = impl.partition("+nofuse")
         impl, cal, _ = impl.partition("+cal")
-        if impl in ("pv", "qk+pv", "fused", "nomax"):
+        impl, _, pe = impl.partition("+pe")   # patch_embed_impl override
+        if impl in ("pv", "qk+pv", "fused", "nomax", "nomax2"):
             # int8 attention modes (models/quant.py) rather than attn_impl
             vit = dataclasses.replace(base.vit, quant_attn=impl)
         else:
             vit = dataclasses.replace(base.vit, attn_impl=impl)
+        if pe:
+            vit = dataclasses.replace(vit, patch_embed_impl=pe)
         model = dataclasses.replace(base, vit=vit)
         if pp:
             model = dataclasses.replace(model, pp_precision=pp)

@@ -58,6 +58,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("what", choices=["step", "desc"], nargs="?", default="desc")
     ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--cal", action="store_true",
+                    help="static calibrated activation scales (bench config)")
     ap.add_argument("--attn", default="xla")
     ap.add_argument("--qattn", default=None,
                     help="int8 attention mode (models/quant.py quant_attn):"
@@ -95,8 +97,15 @@ def main():
     if args.quant:
         from vitvs_tpu.models.quant import quantize_vit_params
 
-        params = quantize_vit_params(params)
         model = dc.replace(model, quantized=True)
+        if args.cal:
+            _frames = jnp.asarray(
+                np.random.default_rng(0).random((4, 480, 640, 3), np.float32))
+            calib = jax.jit(jax.vmap(lambda f: preprocess(model, f)))(_frames)
+            params = quantize_vit_params(params, cfg=model.vit,
+                                         calib_images=calib, layer=cfg.layer)
+        else:
+            params = quantize_vit_params(params)
 
     rng = np.random.default_rng(0)
     N = 4

@@ -74,7 +74,7 @@ def test_static_calibrated_scales_close_to_fp(alpha):
     assert cos.min() > 0.995, cos.min()
 
 
-@pytest.mark.parametrize("mode", ["pv", "qk+pv", "fused", "nomax"])
+@pytest.mark.parametrize("mode", ["pv", "qk+pv", "fused", "nomax", "nomax2"])
 def test_int8_attention_close_to_fp(mode):
     """int8 probs@V (row-max trick), int8 QK^T, and the fused Pallas kernel
     (run in interpreter mode on CPU) must preserve descriptors."""
@@ -265,9 +265,10 @@ def test_source_quantized_bins_velocities_match_materialized():
 
 
 def test_serving_fastpath_velocities_match_baseline():
-    """The candidate serving configuration (quant_attn='nomax' +
-    pp_precision='default') must produce servo velocities equivalent to the
-    validated int8 baseline through the FULL pipeline (bench.py's graph)."""
+    """The production serving configuration (quant_attn='nomax2' + conv
+    patch embed + pp_precision='default' — bench.py's graph) must produce
+    servo velocities equivalent to the validated int8 baseline through the
+    FULL pipeline."""
     import dataclasses
     import sys, os
     sys.path.insert(0, os.path.dirname(__file__))
@@ -280,7 +281,8 @@ def test_serving_fastpath_velocities_match_baseline():
     qp = quantize_vit_params(params)
     fast = dataclasses.replace(
         base, pp_precision="default",
-        vit=dataclasses.replace(base.vit, quant_attn="nomax"))
+        vit=dataclasses.replace(base.vit, quant_attn="nomax2",
+                                patch_embed_impl="conv"))
 
     rng = np.random.default_rng(3)
     goal_rgb = jnp.asarray(rng.random((128, 128, 3)), jnp.float32)

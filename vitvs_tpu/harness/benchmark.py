@@ -100,12 +100,20 @@ def run_benchmark(
     assert params is not None, "pass params when supplying a prebuilt model"
     scene = scene or build_scene()
     if quantized and not model.quantized:
-        # int8 W8A8 serving path for the full closed-loop sweep — the
-        # convergence validation of the configuration bench.py measures
+        # the COMPLETE bench.py serving configuration, so the closed-loop
+        # sweep convergence-validates exactly what the headline rate times:
+        # int8 W8A8 projections, 'nomax2' deferred-normalize attention,
+        # conv patch embed, single-pass bf16 preprocess resize (and, with
+        # int8_static, calibrated static activation scales + fused
+        # source-quantized binned descriptors)
         import dataclasses as _dc
 
         from vitvs_tpu.models.quant import quantize_vit_params
 
+        model = _dc.replace(
+            model, pp_precision="default",
+            vit=_dc.replace(model.vit, quant_attn="nomax2",
+                            patch_embed_impl="conv"))
         calib = None
         if int8_static:
             # static per-tensor activation scales (SmoothQuant fold,

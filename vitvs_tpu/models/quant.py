@@ -264,12 +264,16 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
                   * jnp.transpose(qs, (0, 2, 1, 3))            # (B,h,Tq,1)
                   * jnp.transpose(ks, (0, 2, 3, 1)))           # (B,h,1,Tk)
     else:
+        if mode == "nomax2":
+            # fold the 1/sqrt(hd) softmax scale into Q: T x hd multiplies
+            # (fused into the QKV dequant epilogue) instead of T x T
+            q = q * jnp.asarray(scale, q.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         if cfg.softmax_f32:
             logits = logits.astype(jnp.float32)
     if mode == "fused":
         pass  # attn already set by the fused kernel
-    elif mode == "nomax":
+    elif mode in ("nomax", "nomax2"):
         # no-max, deferred-normalize softmax in PURE XLA (the Pallas version
         # of this idea lost to kernel overheads, README ledger; this variant
         # keeps XLA's QK^T+softmax+PV fusion and just removes VPU passes):
@@ -282,8 +286,15 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
         # f32 keeps relative precision at any magnitude, so rows far below
         # the clamp still normalize exactly; the denom floor only guards
         # total underflow (all logits < clamp - 87), which NaN-poisons 0/0.
-        ls = logits.astype(jnp.float32) * scale
-        e = jnp.exp(jnp.minimum(ls, cfg.nomax_clamp) - cfg.nomax_clamp)
+        if mode == "nomax2":
+            # scale already folded into q; no `- clamp` shift (see ViTConfig
+            # 'nomax2' note: shift-invariant quotient, no f32 overflow at
+            # clamp = 30) — the probs-sized VPU work is exactly [min, exp]
+            ls = logits.astype(jnp.float32)
+            e = jnp.exp(jnp.minimum(ls, cfg.nomax_clamp))
+        else:
+            ls = logits.astype(jnp.float32) * scale
+            e = jnp.exp(jnp.minimum(ls, cfg.nomax_clamp) - cfg.nomax_clamp)
         denom = jnp.maximum(jnp.sum(e, axis=-1), 1e-30)        # (B,h,Tq)
         pv = jnp.einsum("bhqk,bkhd->bqhd", e.astype(dt), v)
         attn = (pv.astype(jnp.float32)

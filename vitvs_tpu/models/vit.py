@@ -63,6 +63,12 @@ class ViTConfig:
     attn_impl: str = "xla"
     # lax.scan unroll factor over the stacked blocks
     scan_unroll: int = 1
+    # non-overlapping patch-embed lowering: 'reshape' (explicit 6D transpose
+    # + one matmul — the profiled default), 'conv' (lax conv, stride=patch),
+    # or 'einsum6' (direct 6D contraction, XLA picks the layout strategy).
+    # All bit-identical up to float association; a serving A/B knob for the
+    # ~45 us/iter of patchify relayout copies at ViT-B@518.
+    patch_embed_impl: str = "reshape"
     # tanh-approximate GELU: cheaper on the VPU than exact erf; descriptor
     # differences are ~1e-3 relative (cosine-matching invariant in practice).
     # Exact erf is kept the default for torch parity.
@@ -89,6 +95,13 @@ class ViTConfig:
     # passes over the (T x T) probs matrix, which ROOFLINE.md shows is the
     # attention bound; exact to ~f32 rounding while every row's logits stay
     # within ~80 of the clamp (exp underflow floor).
+    # 'nomax2' further strips the probs-sized VPU work to [min, exp] alone:
+    # the 1/sqrt(hd) scale folds into Q (T x hd elements, fused into the QKV
+    # dequant epilogue — 22.5x fewer multiplies at ViT-B@518) and the
+    # `- clamp` shift is dropped outright: with clamp = 30, exp(min(ls, 30))
+    # <= 1.07e13 and row sums <= 1.5e16, far inside f32 range, and the
+    # softmax quotient is shift-invariant so the result is identical to
+    # ~f32 rounding.  Same bounded-logits serving precondition as 'nomax'.
     nomax_clamp: float = 30.0
     # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
     ffn: str = "mlp"
@@ -292,16 +305,25 @@ def _embed(params: ViTParams, cfg: ViTConfig, images: jnp.ndarray, precision) ->
     B, H, W, _ = images.shape
     gh, gw = cfg.num_patches(H, W)
     kern = params["patch_embed"]["kernel"]
-    if cfg.stride == cfg.patch_size:
-        # Non-overlapping patches: patchify is a reshape; embed is one matmul.
+    if cfg.stride == cfg.patch_size and cfg.patch_embed_impl != "conv":
         P = cfg.patch_size
         x = images[:, : gh * P, : gw * P, :]
-        x = x.reshape(B, gh, P, gw, P, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * 3)
-        w = kern.reshape(P * P * 3, -1)
-        patches = jnp.einsum("btp,pd->btd", x, w, precision=precision)
+        if cfg.patch_embed_impl == "einsum6":
+            # direct 6D contraction — no materialized patch transpose
+            x6 = x.reshape(B, gh, P, gw, P, 3)
+            patches = jnp.einsum("bhpwqc,pqcd->bhwd", x6, kern,
+                                 precision=precision).reshape(B, gh * gw, -1)
+        else:
+            # Non-overlapping patches: patchify is a reshape; embed is one
+            # matmul.
+            x = x.reshape(B, gh, P, gw, P, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * 3)
+            w = kern.reshape(P * P * 3, -1)
+            patches = jnp.einsum("btp,pd->btd", x, w, precision=precision)
     else:
+        # conv requires matching dtypes; mirror einsum's promotion semantics
+        ct = jnp.promote_types(images.dtype, kern.dtype)
         patches = jax.lax.conv_general_dilated(
-            images, kern,
+            images.astype(ct), kern.astype(ct),
             window_strides=(cfg.stride, cfg.stride),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
