@@ -64,7 +64,7 @@ def main():
         impl, nofuse, _ = impl.partition("+nofuse")
         impl, cal, _ = impl.partition("+cal")
         impl, _, pe = impl.partition("+pe")   # patch_embed_impl override
-        if impl in ("pv", "qk+pv", "fused", "nomax", "nomax2"):
+        if impl in ("pv", "qk+pv", "fused", "nomax", "nomax2", "nomax3"):
             # int8 attention modes (models/quant.py) rather than attn_impl
             vit = dataclasses.replace(base.vit, quant_attn=impl)
         else:

@@ -74,7 +74,7 @@ def test_static_calibrated_scales_close_to_fp(alpha):
     assert cos.min() > 0.995, cos.min()
 
 
-@pytest.mark.parametrize("mode", ["pv", "qk+pv", "fused", "nomax", "nomax2"])
+@pytest.mark.parametrize("mode", ["pv", "qk+pv", "fused", "nomax", "nomax2", "nomax3"])
 def test_int8_attention_close_to_fp(mode):
     """int8 probs@V (row-max trick), int8 QK^T, and the fused Pallas kernel
     (run in interpreter mode on CPU) must preserve descriptors."""

@@ -268,12 +268,17 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
             # fold the 1/sqrt(hd) softmax scale into Q: T x hd multiplies
             # (fused into the QKV dequant epilogue) instead of T x T
             q = q * jnp.asarray(scale, q.dtype)
+        elif mode == "nomax3":
+            # fold scale AND log2(e) into Q: exp(s·x) = exp2(s·log2(e)·x),
+            # so the probs pass can use the VPU's native exp2 without the
+            # hidden x·log2(e) conversion multiply inside exp
+            q = q * jnp.asarray(scale * math.log2(math.e), q.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-        if cfg.softmax_f32:
+        if cfg.softmax_f32 and mode != "nomax3":
             logits = logits.astype(jnp.float32)
     if mode == "fused":
         pass  # attn already set by the fused kernel
-    elif mode in ("nomax", "nomax2"):
+    elif mode in ("nomax", "nomax2", "nomax3"):
         # no-max, deferred-normalize softmax in PURE XLA (the Pallas version
         # of this idea lost to kernel overheads, README ledger; this variant
         # keeps XLA's QK^T+softmax+PV fusion and just removes VPU passes):
@@ -292,10 +297,19 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
             # clamp = 30) — the probs-sized VPU work is exactly [min, exp]
             ls = logits.astype(jnp.float32)
             e = jnp.exp(jnp.minimum(ls, cfg.nomax_clamp))
+        elif mode == "nomax3":
+            # scale·log2(e) already folded into q; probs stay entirely in
+            # the compute dtype (bf16 serving): exp2 directly on the einsum
+            # output, no f32 up-cast pass and no bf16 down-cast before PV.
+            # bf16 probs carry ~0.4% relative error — the same step size as
+            # the convergence-validated int8-probs path ('pv' mode), and the
+            # denom still accumulates in f32 via the sum's dtype.
+            clamp2 = cfg.nomax_clamp * math.log2(math.e)
+            e = jnp.exp2(jnp.minimum(logits, jnp.asarray(clamp2, logits.dtype)))
         else:
             ls = logits.astype(jnp.float32) * scale
             e = jnp.exp(jnp.minimum(ls, cfg.nomax_clamp) - cfg.nomax_clamp)
-        denom = jnp.maximum(jnp.sum(e, axis=-1), 1e-30)        # (B,h,Tq)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, dtype=jnp.float32), 1e-30)
         pv = jnp.einsum("bhqk,bkhd->bqhd", e.astype(dt), v)
         attn = (pv.astype(jnp.float32)
                 / jnp.transpose(denom, (0, 2, 1))[..., None]).astype(dt)

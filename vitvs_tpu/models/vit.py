@@ -102,6 +102,10 @@ class ViTConfig:
     # <= 1.07e13 and row sums <= 1.5e16, far inside f32 range, and the
     # softmax quotient is shift-invariant so the result is identical to
     # ~f32 rounding.  Same bounded-logits serving precondition as 'nomax'.
+    # 'nomax3' additionally folds log2(e) into Q (exp -> native exp2, no
+    # hidden conversion multiply) and keeps the probs in the compute dtype
+    # end-to-end — no f32 up-cast or bf16 down-cast passes; bf16 probs carry
+    # ~0.4% relative error, the same step size as the int8-probs 'pv' path.
     nomax_clamp: float = 30.0
     # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
     ffn: str = "mlp"
