@@ -149,6 +149,30 @@ def test_perturbed_results_chunk_invariant(tmp_path):
                                       d4["all_position_histories"][i])
 
 
+def test_episode_replay_bit_identical(tmp_path):
+    """`episode_indices` replays episodes by absolute seed-41 index: start
+    poses, rotation-search keys, rollout keys and perturbation textures all
+    derive from the absolute index, so the replay must be bitwise identical
+    to the same episodes inside the full sweep."""
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=6)
+    cfg = model.cfg.replace(num_samples=5, num_circles=1)
+    common = dict(params=params, model=model, scene=scene,
+                  out_dir=str(tmp_path), perturbation=True,
+                  rotation_search=True, num_steps=6, verbose=False)
+    _, pf, _ = run_benchmark(cfg, config_name="full", chunk=2, **common)
+    _, pr, _ = run_benchmark(cfg, config_name="replay", chunk=2,
+                             episode_indices=[1, 4], **common)
+    df, dr = np.load(pf, allow_pickle=True), np.load(pr, allow_pickle=True)
+    assert dr["convergence_flags"].shape[0] == 2
+    for r, f in enumerate([1, 4]):
+        np.testing.assert_array_equal(dr["initial_positions"][r],
+                                      df["initial_positions"][f])
+        np.testing.assert_array_equal(dr["all_position_histories"][r],
+                                      df["all_position_histories"][f])
+        np.testing.assert_array_equal(dr["convergence_flags"][r],
+                                      df["convergence_flags"][f])
+
+
 # ---------------------------------------------------------------------------
 # viz
 # ---------------------------------------------------------------------------

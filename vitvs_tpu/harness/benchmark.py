@@ -77,6 +77,7 @@ def run_benchmark(
     mesh=None,
     quantized: bool = False,
     int8_static: bool = False,
+    episode_indices=None,
 ):
     """`checkpoint_path` enables episode-level checkpoint/resume: after every
     chunk the completed episode results are pickled there, and a re-run with
@@ -91,7 +92,14 @@ def run_benchmark(
     from absolute indices, so rollouts are deterministic per episode; mesh
     results match the single-device run to float tolerance (~1e-4 over short
     rollouts — XLA schedules fusions differently under sharding, so bitwise
-    equality is not achievable; asserted in tests/test_parallel.py)."""
+    equality is not achievable; asserted in tests/test_parallel.py).
+
+    `episode_indices` replays a subset of the benchmark's episodes by their
+    ABSOLUTE index in the seed-41 stream: start poses, rotation-search keys,
+    rollout keys and perturbation textures all derive from the absolute
+    index, so a replayed episode is bit-identical to the same episode inside
+    the full sweep — targeted failure-replay the reference harness cannot do
+    (its 500-episode loop, vitvs_v2.py:1434, only runs front-to-back)."""
     import pickle
 
     t_start = time.time()
@@ -165,6 +173,24 @@ def run_benchmark(
         env_put = rep_put = lambda x: x  # noqa: E731
 
     positions, quats, n = samplers.generate_episode_starts(cfg, seed=seed)
+    n_total = n   # full seed-41 stream length (perturbation keys span it)
+    abs_idx = np.arange(n)
+    if episode_indices is not None:
+        abs_idx = np.asarray(sorted(set(int(i) for i in episode_indices)))
+        if abs_idx.size == 0 or abs_idx[0] < 0 or abs_idx[-1] >= n:
+            raise ValueError(f"episode_indices must be within [0, {n})")
+        positions = np.asarray(positions)[abs_idx]
+        quats = np.asarray(quats)[abs_idx]
+        n = len(abs_idx)
+
+    def chunk_key_ids(lo: int, base: int = 0) -> jnp.ndarray:
+        """PRNG key ids for the chunk starting at subset position `lo`,
+        derived from ABSOLUTE episode indices (replay-invariant)."""
+        ids = abs_idx[lo:min(lo + chunk, n)]
+        if len(ids) < chunk:
+            ids = np.concatenate([ids, np.repeat(ids[-1:], chunk - len(ids))])
+        return jnp.asarray(base + ids)
+
     if verbose:
         ap, sp = samplers.pose_error_stats(positions, samplers.DESIRED_POSITION)
         ao, so = samplers.orientation_error_stats(quats, samplers.DESIRED_ORIENTATION)
@@ -187,7 +213,7 @@ def run_benchmark(
     textures_for = None
     if perturbation:
         tex_keys = np.asarray(
-            jax.random.split(jax.random.PRNGKey(perturb_seed), n))
+            jax.random.split(jax.random.PRNGKey(perturb_seed), n_total))
         _perturb_chunk = jax.jit(jax.vmap(perturb_texture, in_axes=(0, None)))
 
         def textures_for(lo, hi, pad):  # noqa: F811
@@ -195,7 +221,7 @@ def run_benchmark(
             # rollout phase, so each chunk IS generated twice — a few ms of
             # augmentation ops per chunk vs minutes of rollout; caching all
             # chunks would re-create the OOM this replaces
-            ks = tex_keys[lo:hi]
+            ks = tex_keys[abs_idx[lo:hi]]
             if pad:
                 ks = np.concatenate([ks, np.repeat(ks[-1:], pad, 0)])
             return env_put(_perturb_chunk(jnp.asarray(ks), scene.texture))
@@ -229,8 +255,7 @@ def run_benchmark(
                     a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
                 return env_put(jnp.asarray(a))
 
-            keys = env_put(jax.vmap(jax.random.PRNGKey)(
-                jnp.arange(1000 + lo, 1000 + lo + chunk)))
+            keys = env_put(jax.vmap(jax.random.PRNGKey)(chunk_key_ids(lo, 1000)))
             if textures_for is None:
                 out = search_chunk_notx(params, goal_desc, scene,
                                         pad_to_chunk(positions),
@@ -352,7 +377,7 @@ def run_benchmark(
 
         # keys derive from the ABSOLUTE episode index so results are invariant
         # to --chunk, to resuming with a different chunk size, and to the mesh
-        keys = env_put(jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk)))
+        keys = env_put(jax.vmap(jax.random.PRNGKey)(chunk_key_ids(lo)))
         tx = None if textures_for is None else textures_for(lo, hi, pad)
         batch = run_chunk(tx, padded(positions), padded(best_quats), keys)
         batch = jax.tree.map(np.asarray, batch)

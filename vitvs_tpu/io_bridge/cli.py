@@ -57,6 +57,10 @@ def main(argv=None):
                         " reference's real viso poster on its real geometry)")
     p.add_argument("--resume", default=None,
                    help="episode checkpoint file for crash-resumable sweeps")
+    p.add_argument("--episodes", default=None,
+                   help="comma-separated ABSOLUTE episode indices to replay"
+                        " (e.g. '37,102,441'): bit-identical to the same"
+                        " episodes inside the full seed-41 sweep (dino only)")
     p.add_argument("--mesh", action="store_true",
                    help="shard rollout chunks over all devices (dp x tp mesh;"
                         " per-episode keys are device-layout invariant,"
@@ -104,6 +108,12 @@ def main(argv=None):
         config_name += "_int8cal" if args.int8_static else "_int8"
     if args.control_dt:
         config_name += f"_dt{args.control_dt:g}"   # dt-sensitivity sweeps
+    episode_indices = None
+    if args.episodes:
+        if args.method != "dino":
+            p.error("--episodes applies to the dino pipeline only")
+        episode_indices = [int(s) for s in args.episodes.split(",")]
+        config_name += "_replay"   # never shadow a full-sweep npz
 
     scene = None   # None -> the benchmark drivers load the real poster scene
     if args.poster == "synthetic":
@@ -133,6 +143,7 @@ def main(argv=None):
             chunk=args.chunk, num_steps=args.num_steps,
             checkpoint_path=args.resume, mesh=mesh,
             quantized=args.int8, int8_static=args.int8_static,
+            episode_indices=episode_indices,
         )
     else:
         from vitvs_tpu.classical.benchmark import run_classical_benchmark
