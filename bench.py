@@ -47,22 +47,25 @@ def main():
                    pinv_mode="dls")
     # production serving configuration: int8 W8A8 projections with STATIC
     # calibrated activation scales (SmoothQuant fold, models/quant.py),
-    # 'nomax2' deferred-normalize attention (probs-sized VPU work is exactly
-    # [min, exp]: scale folded into Q, no row-max pass, no constant shift),
-    # conv-lowered patch embed, source-quantized binned descriptors
-    # (match/binned.py), bf16 single-pass preprocess resize (error below
-    # 8-bit sensor quantization), tanh GELU, bf16 elsewhere.  The int8 W8A8 +
-    # static-scale base is convergence-validated end-to-end on the
-    # 500-episode real-poster sweep (docs/TASK_VALIDATION.md runs O/P); the
-    # nomax2/conv deltas are velocity-equivalence-tested through the full
-    # pipeline (tests/test_quant.py).
-    # Interleaved A/B ledger (scripts/ab_attn.py): nomax2 1.992 vs nomax
-    # 2.044; peconv 2.073 vs 2.100; static scales 2.085 vs 2.163 dynamic;
-    # fused bin-quant 2.165 vs 2.302.
+    # 'nomax3' deferred-normalize attention (probs-sized VPU work is exactly
+    # [min, exp2] in bf16: scale and log2(e) folded into Q, no row-max pass,
+    # no shift, no dtype-cast passes), conv-lowered patch embed,
+    # source-quantized binned descriptors (match/binned.py), bf16
+    # single-pass preprocess resize (error below 8-bit sensor quantization),
+    # tanh GELU, bf16 elsewhere.  This exact configuration is
+    # convergence-validated end-to-end on the 500-episode real-poster sweep
+    # — 98.6%, statistically identical to bf16's 98.4%
+    # (docs/TASK_VALIDATION.md runs O/P/Q/R; run R is byte-for-byte this
+    # graph) — and velocity-equivalence-tested through the full pipeline
+    # (tests/test_quant.py).
+    # Interleaved A/B ledger (scripts/ab_attn.py): nomax3 2.689 vs nomax2
+    # 2.746 (slow-window capture; both ~27% faster in a clean window);
+    # nomax2 1.992 vs nomax 2.044; peconv 2.073 vs 2.100; static scales
+    # 2.085 vs 2.163 dynamic; fused bin-quant 2.165 vs 2.302.
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
     model = dataclasses.replace(
         model, quantized=True, pp_precision="default",
-        vit=dataclasses.replace(model.vit, quant_attn="nomax2",
+        vit=dataclasses.replace(model.vit, quant_attn="nomax3",
                                 patch_embed_impl="conv"))
 
     rng = np.random.default_rng(0)
