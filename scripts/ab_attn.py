@@ -59,11 +59,23 @@ def main():
         # spec grammar: ATTN[+cal][+ppPREC], e.g. "nomax", "nomax+ppdefault",
         # "nomax+cal+ppdefault" — ppPREC sets ServoModel.pp_precision; 'cal'
         # swaps in statically-calibrated activation scales (SmoothQuant fold,
-        # models/quant.py) calibrated on the staged frames.
-        impl, _, pp = spec.partition("+pp")
-        impl, nofuse, _ = impl.partition("+nofuse")
-        impl, cal, _ = impl.partition("+cal")
-        impl, _, pe = impl.partition("+pe")   # patch_embed_impl override
+        # models/quant.py) calibrated on the staged frames.  Suffix order is
+        # free: each "+tok" is parsed independently (an earlier partition()
+        # chain silently DROPPED suffixes after +cal/+nofuse).
+        impl, *mods = spec.split("+")
+        pp = pe = ""
+        nofuse = cal = False
+        for tok in mods:
+            if tok.startswith("pp"):
+                pp = tok[2:]
+            elif tok == "nofuse":
+                nofuse = True
+            elif tok == "cal":
+                cal = True
+            elif tok.startswith("pe"):
+                pe = tok[2:]   # patch_embed_impl override
+            else:
+                raise SystemExit(f"unknown variant modifier '+{tok}' in {spec!r}")
         if impl in ("pv", "qk+pv", "fused", "nomax", "nomax2", "nomax3"):
             # int8 attention modes (models/quant.py) rather than attn_impl
             vit = dataclasses.replace(base.vit, quant_attn=impl)

@@ -21,23 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def gt_project(cam, pos_a, quat_a, pos_b, quat_b, plane_z, uv_a):
     """Ground-truth pixel correspondence view A -> view B via the plane."""
-    import jax.numpy as jnp
+    from vitvs_tpu.core.camera import reproject_via_plane
 
-    from vitvs_tpu.core import se3
-
-    xy = cam.pixel_to_normalized(jnp.asarray(uv_a, jnp.float32))
-    d_c = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)
-    r_wa = se3.matrix_from_quat(jnp.asarray(quat_a)) @ se3.R_BODY_FROM_OPTICAL
-    d_w = d_c @ r_wa.T
-    t_hit = (plane_z - pos_a[2]) / jnp.where(jnp.abs(d_w[:, 2]) < 1e-9, 1e-9,
-                                             d_w[:, 2])
-    world = jnp.asarray(pos_a) + t_hit[:, None] * d_w
-    r_wb = se3.matrix_from_quat(jnp.asarray(quat_b)) @ se3.R_BODY_FROM_OPTICAL
-    p_c = (world - jnp.asarray(pos_b)) @ r_wb
-    z = jnp.maximum(p_c[:, 2], 1e-9)
-    u = p_c[:, 0] / z * cam.fx + cam.cx
-    v = p_c[:, 1] / z * cam.fy + cam.cy
-    return np.asarray(jnp.stack([u, v], -1))
+    uv_b, _, _, _ = reproject_via_plane(cam, uv_a, pos_a, quat_a,
+                                        pos_b, quat_b, plane_z)
+    return np.asarray(uv_b)
 
 
 def main():

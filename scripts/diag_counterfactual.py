@@ -68,18 +68,11 @@ def main():
     val = np.asarray(m.valid)
 
     def gt_uv(uv_goal):
-        xy = cam.pixel_to_normalized(jnp.asarray(uv_goal, jnp.float32))
-        d_c = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
-        r_wg = se3.matrix_from_quat(gq) @ se3.R_BODY_FROM_OPTICAL
-        d_w = d_c @ r_wg.T
-        t_hit = (scene.plane_z - gp[2]) / d_w[..., 2]
-        world = gp + t_hit[..., None] * d_w
-        r_wb = se3.matrix_from_quat(quat) @ se3.R_BODY_FROM_OPTICAL
-        p_c = (world - pos) @ r_wb
-        z = jnp.maximum(p_c[..., 2], 1e-9)
-        u = p_c[..., 0] / z * cam.fx + cam.cx
-        v = p_c[..., 1] / z * cam.fy + cam.cy
-        return np.asarray(jnp.stack([u, v], -1))
+        from vitvs_tpu.core.camera import reproject_via_plane
+
+        uv_b, _, _, _ = reproject_via_plane(cam, uv_goal, gp, gq,
+                                            pos, quat, scene.plane_z)
+        return np.asarray(uv_b)
 
     gt = gt_uv(uv_star)
     err_px = np.linalg.norm(gt - uv_cur, axis=-1)

@@ -54,18 +54,11 @@ def main():
     uv_star = np.array([[u, v] for v in vs for u in us], np.float32)
 
     def gt_current(uv_goal, p, q):
-        xy = cam.pixel_to_normalized(jnp.asarray(uv_goal, jnp.float32))
-        d_c = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
-        r_wg = se3.matrix_from_quat(gq) @ se3.R_BODY_FROM_OPTICAL
-        d_w = d_c @ r_wg.T
-        t_hit = (scene.plane_z - gp[2]) / d_w[..., 2]
-        world = gp + t_hit[..., None] * d_w
-        r_wb = se3.matrix_from_quat(q) @ se3.R_BODY_FROM_OPTICAL
-        p_c = (world - p) @ r_wb
-        z = jnp.maximum(p_c[..., 2], 1e-9)
-        u = p_c[..., 0] / z * cam.fx + cam.cx
-        v = p_c[..., 1] / z * cam.fy + cam.cy
-        return jnp.stack([u, v], -1), p_c[..., 2]
+        from vitvs_tpu.core.camera import reproject_via_plane
+
+        uv_b, _, _, z_b = reproject_via_plane(cam, uv_goal, gp, gq,
+                                              p, q, scene.plane_z)
+        return uv_b, z_b
 
     @jax.jit
     def run(pos0, quat0):

@@ -265,7 +265,7 @@ def test_source_quantized_bins_velocities_match_materialized():
 
 
 def test_serving_fastpath_velocities_match_baseline():
-    """The production serving configuration (quant_attn='nomax2' + conv
+    """The production serving configuration (quant_attn='nomax3' + conv
     patch embed + pp_precision='default' — bench.py's graph) must produce
     servo velocities equivalent to the validated int8 baseline through the
     FULL pipeline."""
@@ -281,7 +281,7 @@ def test_serving_fastpath_velocities_match_baseline():
     qp = quantize_vit_params(params)
     fast = dataclasses.replace(
         base, pp_precision="default",
-        vit=dataclasses.replace(base.vit, quant_attn="nomax2",
+        vit=dataclasses.replace(base.vit, quant_attn="nomax3",
                                 patch_embed_impl="conv"))
 
     rng = np.random.default_rng(3)

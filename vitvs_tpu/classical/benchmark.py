@@ -6,8 +6,6 @@ method={sift,orb,akaze} in the filename."""
 
 from __future__ import annotations
 
-import os
-import pickle
 import time
 
 import numpy as np
@@ -15,10 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from vitvs_tpu.classical.pipeline import classical_servo_step, extract_goal_features
-from vitvs_tpu.harness import evals, results, samplers
+from vitvs_tpu.harness import chunks, evals, results, samplers
 from vitvs_tpu.harness.pipeline import ServoModel
 from vitvs_tpu.io_bridge.config import VSConfig
-from vitvs_tpu.sim import Scene, load_poster_scene, observe, perturb_texture
+from vitvs_tpu.sim import Scene, load_poster_scene, observe
 
 
 def run_classical_benchmark(
@@ -68,20 +66,12 @@ def run_classical_benchmark(
     goal_rgb, _ = observe(scene, model.camera, goal_pos, goal_quat)
     goal_feats = extract_goal_features(model, goal_rgb, max_corners, method)
 
-    # perturbed textures per chunk from absolute-index keys (chunk-invariant;
-    # materializing all n up front OOMs on the real-size poster — see
-    # harness/benchmark.py)
+    # perturbed textures per chunk from absolute-index keys (chunk-invariant,
+    # OOM-safe; harness/chunks.py)
     textures_for = None
     if perturbation:
-        tex_keys = np.asarray(
-            jax.random.split(jax.random.PRNGKey(perturb_seed), n))
-        _perturb_chunk = jax.jit(jax.vmap(perturb_texture, in_axes=(0, None)))
-
-        def textures_for(lo, hi, pad):  # noqa: F811
-            ks = tex_keys[lo:hi]
-            if pad:
-                ks = np.concatenate([ks, np.repeat(ks[-1:], pad, 0)])
-            return _perturb_chunk(jnp.asarray(ks), scene.texture)
+        textures_for = chunks.make_textures_for(
+            perturb_seed, n, scene.texture, np.arange(n))
 
     # NOTE goal features and the scene are threaded as jit ARGUMENTS (closure
     # captures are baked into the compile payload as constants).  Rollouts
@@ -151,45 +141,22 @@ def run_classical_benchmark(
             done += nsteps
             if done < T and bool(np.all(np.asarray(carry.conv.done
                                                    | carry.aborted))):
-                # all-frozen fast-forward (see harness/benchmark.py)
-                rest = T - done
-                last = jax.tree.map(lambda a: np.asarray(a)[:, -1], ys)
-
-                def tile(a):
-                    return jnp.asarray(np.broadcast_to(
-                        a[:, None], (a.shape[0], rest) + a.shape[1:]))
-
-                nchunk = last["position"].shape[0]
-                ys_parts.append({
-                    "position": tile(last["position"]),
-                    "quat": tile(last["quat"]),
-                    "v_c": jnp.zeros((nchunk, rest, 6), jnp.float32),
-                    "twist": jnp.zeros((nchunk, rest, 6), jnp.float32),
-                    "err": tile(last["err"]),
-                    "active": jnp.zeros((nchunk, rest), bool),
-                })
+                # all-frozen fast-forward (harness/chunks.py)
+                ys_parts.append(chunks.frozen_tail(ys, T - done))
                 done = T
         full_ys = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=1),
                                *ys_parts)
         return finalize_chunk(carry, full_ys)
 
-    episodes = []
-    if checkpoint_path and os.path.exists(checkpoint_path):
-        with open(checkpoint_path, "rb") as fh:
-            episodes = pickle.load(fh)
-        if verbose:
-            print(f"[bench:{method}] resumed {len(episodes)} episodes "
-                  f"from {checkpoint_path}")
+    episodes = chunks.load_episodes(checkpoint_path, f"bench:{method}", verbose)
 
     for lo in range(len(episodes), n, chunk):
         hi = min(lo + chunk, n)
         pad = chunk - (hi - lo)
 
         def padded(a):
-            a = np.asarray(a[lo:hi], np.float32)
-            if pad:
-                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
-            return jnp.asarray(a)
+            return jnp.asarray(
+                chunks.pad_tail(np.asarray(a[lo:hi], np.float32), pad))
 
         # keys from the absolute episode index: chunk-size invariant
         keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(lo, lo + chunk))
@@ -198,11 +165,7 @@ def run_classical_benchmark(
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
-        if checkpoint_path:
-            tmp = checkpoint_path + ".tmp"
-            with open(tmp, "wb") as fh:
-                pickle.dump(episodes, fh)
-            os.replace(tmp, checkpoint_path)
+        chunks.save_episodes(checkpoint_path, episodes)
         if verbose:
             done = sum(bool(e.converged) for e in episodes)
             print(f"[bench:{method}] episodes {hi}/{n}; converged: {done}")

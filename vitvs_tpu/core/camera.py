@@ -65,3 +65,33 @@ class CameraIntrinsics:
         y = (v - self.cy) / self.fy
         xx, yy = jnp.meshgrid(x, y)  # (H, W)
         return jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)
+
+
+def reproject_via_plane(cam: CameraIntrinsics, uv_a: jnp.ndarray,
+                        pos_a, quat_a, pos_b, quat_b, plane_z):
+    """Ground-truth pixel correspondence view A -> view B via the z=plane_z
+    world plane (the poster; the benchmark scene is exactly a textured plane,
+    reference ibvs.launch:21-22).
+
+    Back-projects pixels `uv_a` (..., 2) from camera A (body pose `pos_a`,
+    `quat_a`; optical frame per se3.R_BODY_FROM_OPTICAL), intersects the
+    plane, reprojects into camera B.  Returns `(uv_b, world, t_hit, z_b)`:
+    pixel coords in B, world-plane hit points, the ray parameter in A
+    (<= 0 means the plane is behind A), and depth along B's optical axis
+    (<= 0 means behind B).  Shared by train/finetune's GT patch
+    correspondence and the scripts/diag_* reprojection tools — one copy of
+    the frame conventions."""
+    from vitvs_tpu.core import se3
+
+    xy = cam.pixel_to_normalized(jnp.asarray(uv_a, jnp.float32))
+    d_c = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
+    r_wa = se3.matrix_from_quat(jnp.asarray(quat_a)) @ se3.R_BODY_FROM_OPTICAL
+    d_w = d_c @ r_wa.T
+    t_hit = (plane_z - pos_a[..., 2]) / jnp.where(
+        jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+    world = jnp.asarray(pos_a) + t_hit[..., None] * d_w
+    r_wb = se3.matrix_from_quat(jnp.asarray(quat_b)) @ se3.R_BODY_FROM_OPTICAL
+    p_c = (world - jnp.asarray(pos_b)) @ r_wb
+    z_b = p_c[..., 2]
+    uv_b = cam.normalized_to_pixel(p_c[..., :2] / jnp.maximum(z_b, 1e-9)[..., None])
+    return uv_b, world, t_hit, z_b

@@ -13,20 +13,18 @@ Flow per the reference, but batched:
 
 from __future__ import annotations
 
-import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vitvs_tpu.harness import evals, results, samplers
+from vitvs_tpu.harness import chunks, evals, results, samplers
 from vitvs_tpu.harness.pipeline import ServoModel, goal_descriptors
 from vitvs_tpu.harness.rollout import find_best_start_pose
 from vitvs_tpu.io_bridge.config import VSConfig
 from vitvs_tpu.models import vit as vit_mod
-from vitvs_tpu.sim import (Scene, load_poster_scene, make_synthetic_poster,
-                           observe, perturb_texture)
+from vitvs_tpu.sim import Scene, load_poster_scene, make_synthetic_poster, observe
 
 
 def build_model(cfg: VSConfig, params=None, compute_dtype=jnp.bfloat16,
@@ -100,17 +98,20 @@ def run_benchmark(
     index, so a replayed episode is bit-identical to the same episode inside
     the full sweep — targeted failure-replay the reference harness cannot do
     (its 500-episode loop, vitvs_v2.py:1434, only runs front-to-back)."""
-    import pickle
-
     t_start = time.time()
     if model is None:
         params, model = build_model(cfg, params)
     assert params is not None, "pass params when supplying a prebuilt model"
     scene = scene or build_scene()
+
+    positions, quats, n = samplers.generate_episode_starts(cfg, seed=seed)
+    n_total = n   # full seed-41 stream length (perturbation keys span it)
+    abs_idx = np.arange(n)
+
     if quantized and not model.quantized:
         # the COMPLETE bench.py serving configuration, so the closed-loop
         # sweep convergence-validates exactly what the headline rate times:
-        # int8 W8A8 projections, 'nomax2' deferred-normalize attention,
+        # int8 W8A8 projections, 'nomax3' deferred-normalize attention,
         # conv patch embed, single-pass bf16 preprocess resize (and, with
         # int8_static, calibrated static activation scales + fused
         # source-quantized binned descriptors)
@@ -120,24 +121,26 @@ def run_benchmark(
 
         model = _dc.replace(
             model, pp_precision="default",
-            vit=_dc.replace(model.vit, quant_attn="nomax2",
+            vit=_dc.replace(model.vit, quant_attn="nomax3",
                             patch_embed_impl="conv"))
         calib = None
         if int8_static:
             # static per-tensor activation scales (SmoothQuant fold,
             # models/quant.py) calibrated on REAL views of this scene: the
-            # goal view + the first sampled start poses — the activation
-            # distribution the sweep will actually serve
+            # goal view + the first start poses of the FULL seed-41 stream
+            # (so replays of a subset serve the exact full-sweep scales)
             from vitvs_tpu.harness.pipeline import preprocess as _pp
 
-            cpos, cquats, cn = samplers.generate_episode_starts(cfg, seed=seed)
-            views = [(jnp.asarray(samplers.DESIRED_POSITION, jnp.float32),
-                      jnp.asarray(samplers.DESIRED_ORIENTATION, jnp.float32))]
-            views += [(jnp.asarray(cpos[i], jnp.float32),
-                       jnp.asarray(cquats[i], jnp.float32))
-                      for i in range(min(7, cn))]
-            imgs = jnp.stack([observe(scene, model.camera, p, q)[0]
-                              for p, q in views])
+            k = min(7, n)
+            vps = jnp.asarray(np.concatenate(
+                [[samplers.DESIRED_POSITION], positions[:k]]), jnp.float32)
+            vqs = jnp.asarray(np.concatenate(
+                [[samplers.DESIRED_ORIENTATION], quats[:k]]), jnp.float32)
+            # scene threaded as a jit ARGUMENT (closure-captured textures
+            # embed in the remote-compile payload through the tunnel)
+            imgs = jax.jit(jax.vmap(
+                lambda sc, p, q: observe(sc, model.camera, p, q)[0],
+                in_axes=(None, 0, 0)))(scene, vps, vqs)
             calib = jax.jit(jax.vmap(lambda f: _pp(model, f)))(imgs)
         params = quantize_vit_params(
             params, cfg=model.vit if calib is not None else None,
@@ -172,9 +175,6 @@ def run_benchmark(
     else:
         env_put = rep_put = lambda x: x  # noqa: E731
 
-    positions, quats, n = samplers.generate_episode_starts(cfg, seed=seed)
-    n_total = n   # full seed-41 stream length (perturbation keys span it)
-    abs_idx = np.arange(n)
     if episode_indices is not None:
         abs_idx = np.asarray(sorted(set(int(i) for i in episode_indices)))
         if abs_idx.size == 0 or abs_idx[0] < 0 or abs_idx[-1] >= n:
@@ -206,25 +206,15 @@ def run_benchmark(
         params, goal_rgb))
 
     # perturbed textures per episode (scene-level fault injection), generated
-    # PER CHUNK: keys derive from the absolute episode index (chunk- and
-    # resume-invariant), but materializing all n textures up front OOMs on
-    # real-size scenes (500 x the 1500x1125 viso poster = ~10 GB of HBM
-    # before the ViT even loads; r3 OOM'd at 21.8/15.75 GB)
+    # PER CHUNK from absolute-index keys (harness/chunks.py).  Deliberately
+    # uncached here: the search phase completes before the rollout phase, so
+    # each chunk IS generated twice — a few ms of augmentation ops per chunk
+    # vs minutes of rollout; caching all chunks would re-create the OOM
+    # make_textures_for documents
     textures_for = None
     if perturbation:
-        tex_keys = np.asarray(
-            jax.random.split(jax.random.PRNGKey(perturb_seed), n_total))
-        _perturb_chunk = jax.jit(jax.vmap(perturb_texture, in_axes=(0, None)))
-
-        def textures_for(lo, hi, pad):  # noqa: F811
-            # deliberately uncached: the search phase completes before the
-            # rollout phase, so each chunk IS generated twice — a few ms of
-            # augmentation ops per chunk vs minutes of rollout; caching all
-            # chunks would re-create the OOM this replaces
-            ks = tex_keys[abs_idx[lo:hi]]
-            if pad:
-                ks = np.concatenate([ks, np.repeat(ks[-1:], pad, 0)])
-            return env_put(_perturb_chunk(jnp.asarray(ks), scene.texture))
+        textures_for = chunks.make_textures_for(
+            perturb_seed, n_total, scene.texture, abs_idx, put=env_put)
 
     # rotation-compensation search, vmapped across episode CHUNKS (one jit
     # call per chunk instead of one per episode — at ~30 ms tunnel RTT a
@@ -334,33 +324,13 @@ def run_benchmark(
                 # the PRNG key) — synthesize those histories host-side
                 # instead of running the device.  Bit-identical results;
                 # typically skips most of a converged sweep's device work.
-                rest = T - done
-                last = jax.tree.map(lambda a: np.asarray(a)[:, -1], ys)
-
-                def tile(a):
-                    return jnp.asarray(np.broadcast_to(
-                        a[:, None], (a.shape[0], rest) + a.shape[1:]))
-
-                nchunk = last["position"].shape[0]
-                ys_parts.append({
-                    "position": tile(last["position"]),
-                    "quat": tile(last["quat"]),
-                    "v_c": jnp.zeros((nchunk, rest, 6), jnp.float32),
-                    "twist": jnp.zeros((nchunk, rest, 6), jnp.float32),
-                    "err": tile(last["err"]),
-                    "active": jnp.zeros((nchunk, rest), bool),
-                })
+                ys_parts.append(chunks.frozen_tail(ys, T - done))
                 done = T
         full_ys = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=1),
                                *ys_parts)
         return finalize_chunk(carry, full_ys)
 
-    episodes = []
-    if checkpoint_path and os.path.exists(checkpoint_path):
-        with open(checkpoint_path, "rb") as fh:
-            episodes = pickle.load(fh)
-        if verbose:
-            print(f"[bench] resumed {len(episodes)} episodes from {checkpoint_path}")
+    episodes = chunks.load_episodes(checkpoint_path, "bench", verbose)
 
     # episodes are appended whole chunks at a time, so resuming at
     # len(episodes) always lands on a chunk boundary (or past the end)
@@ -370,10 +340,8 @@ def run_benchmark(
         sl = slice(lo, hi)
 
         def padded(a):
-            a = np.asarray(a[sl], np.float32)
-            if pad:
-                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
-            return env_put(jnp.asarray(a))
+            return env_put(jnp.asarray(
+                chunks.pad_tail(np.asarray(a[sl], np.float32), pad)))
 
         # keys derive from the ABSOLUTE episode index so results are invariant
         # to --chunk, to resuming with a different chunk size, and to the mesh
@@ -383,11 +351,7 @@ def run_benchmark(
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
-        if checkpoint_path:
-            tmp = checkpoint_path + ".tmp"
-            with open(tmp, "wb") as fh:
-                pickle.dump(episodes, fh)
-            os.replace(tmp, checkpoint_path)
+        chunks.save_episodes(checkpoint_path, episodes)
         if verbose:
             done = sum(bool(e.converged) for e in episodes)
             print(f"[bench] episodes {hi}/{n}; converged so far: {done}")

@@ -96,6 +96,8 @@ def main(argv=None):
 
     if args.int8_static and not args.int8:
         p.error("--int8-static requires --int8")
+    if args.tp != 1 and not args.mesh:
+        p.error("--tp requires --mesh (tensor parallelism shards over the mesh)")
     if args.method != "dino" and (args.int8 or args.mesh):
         p.error(f"--int8/--mesh apply to the dino pipeline only; "
                 f"--method {args.method} runs the classical controller "

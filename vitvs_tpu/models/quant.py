@@ -242,12 +242,44 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
             interpret=cfg.attn_impl.endswith("-interpret"))
         attn = attn.astype(dt)
     else:
-        qkv = qkv.reshape(B, T, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = 1.0 / math.sqrt(hd)
-    if mode == "fused":
-        pass  # attn computed above; skip the unfused score/value paths
-    elif mode == "qk+pv":
+        attn = _attn_unfused(qkv.reshape(B, T, 3, h, hd), cfg, dt)
+    attn = _q_matmul(attn, bp["proj_kernel"], bp["proj_kernel_scale"][0],
+                     bp["proj_bias"], dt,
+                     act_scale=None if acts is None else acts[2])
+    x = x + bp["ls1"].astype(dt) * attn
+
+    x_norm = vit_mod._layernorm(x, bp["norm2_scale"], bp["norm2_bias"],
+                                cfg.ln_eps, cfg.ln_f32)
+    hmid = _q_matmul(x_norm, bp["fc1_kernel"], bp["fc1_kernel_scale"][0],
+                     bp["fc1_bias"], dt,
+                     act_scale=None if acts is None else acts[1])
+    if cfg.ffn == "swiglu":
+        # DINOv2 SwiGLUFFNFused (ViT-g): fused w12 output -> silu(x1) * x2,
+        # mirroring vit._mlp
+        x1, x2 = jnp.split(hmid, 2, axis=-1)
+        hmid = jax.nn.silu(x1) * x2
+    else:
+        hmid = jax.nn.gelu(hmid, approximate=cfg.gelu_approx)
+    mlp = _q_matmul(hmid, bp["fc2_kernel"], bp["fc2_kernel_scale"][0],
+                    bp["fc2_bias"], dt,
+                    act_scale=None if acts is None else acts[3])
+    return x + bp["ls2"].astype(dt) * mlp
+
+
+def _attn_unfused(qkv: jnp.ndarray, cfg: ViTConfig, dt) -> jnp.ndarray:
+    """Self-attention for every non-'fused' quant_attn mode.
+
+    One dispatch per mode (an earlier version threaded three interleaved
+    `if mode == "fused"` chains through shared locals — a mode added to the
+    wrong chain silently fell through to the exact-softmax branch)."""
+    import math
+
+    B, T, _, h, hd = qkv.shape
+    D = h * hd
+    mode = getattr(cfg, "quant_attn", "pv")
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = 1.0 / math.sqrt(hd)
+    if mode == "qk+pv":
         # int8 score matmul: per-(token, head) symmetric scales
         def _q_th(x):  # (B, T, h, hd) -> int8 + (B, T, h, 1) f32 scales
             amax = jnp.max(jnp.abs(x), -1, keepdims=True).astype(jnp.float32)
@@ -276,9 +308,7 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         if cfg.softmax_f32 and mode != "nomax3":
             logits = logits.astype(jnp.float32)
-    if mode == "fused":
-        pass  # attn already set by the fused kernel
-    elif mode in ("nomax", "nomax2", "nomax3"):
+    if mode in ("nomax", "nomax2", "nomax3"):
         # no-max, deferred-normalize softmax in PURE XLA (the Pallas version
         # of this idea lost to kernel overheads, README ledger; this variant
         # keeps XLA's QK^T+softmax+PV fusion and just removes VPU passes):
@@ -351,27 +381,7 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
     else:
         probs = jax.nn.softmax(logits * scale, axis=-1).astype(dt)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
-    attn = _q_matmul(attn, bp["proj_kernel"], bp["proj_kernel_scale"][0],
-                     bp["proj_bias"], dt,
-                     act_scale=None if acts is None else acts[2])
-    x = x + bp["ls1"].astype(dt) * attn
-
-    x_norm = vit_mod._layernorm(x, bp["norm2_scale"], bp["norm2_bias"],
-                                cfg.ln_eps, cfg.ln_f32)
-    hmid = _q_matmul(x_norm, bp["fc1_kernel"], bp["fc1_kernel_scale"][0],
-                     bp["fc1_bias"], dt,
-                     act_scale=None if acts is None else acts[1])
-    if cfg.ffn == "swiglu":
-        # DINOv2 SwiGLUFFNFused (ViT-g): fused w12 output -> silu(x1) * x2,
-        # mirroring vit._mlp
-        x1, x2 = jnp.split(hmid, 2, axis=-1)
-        hmid = jax.nn.silu(x1) * x2
-    else:
-        hmid = jax.nn.gelu(hmid, approximate=cfg.gelu_approx)
-    mlp = _q_matmul(hmid, bp["fc2_kernel"], bp["fc2_kernel_scale"][0],
-                    bp["fc2_bias"], dt,
-                    act_scale=None if acts is None else acts[3])
-    return x + bp["ls2"].astype(dt) * mlp
+    return attn
 
 
 def _cast_block(bp: Dict[str, jnp.ndarray], compute_dtype) -> Dict[str, jnp.ndarray]:

@@ -27,6 +27,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from vitvs_tpu.core import camera as camera_mod
 from vitvs_tpu.core import se3
 
 from vitvs_tpu.harness.pipeline import ServoModel, preprocess
@@ -70,25 +71,13 @@ def geometric_correspondences(
     cam = model.camera
     gh, gw = model.grid()
     uv = _patch_centers_px(model)                       # (t, 2)
-    xy = cam.pixel_to_normalized(uv)                    # (t, 2)
-    d_c = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)  # optical rays
-
-    r_wa = se3.matrix_from_quat(quat_a) @ se3.R_BODY_FROM_OPTICAL
-    d_w = d_c @ r_wa.T
-    t_hit = (scene.plane_z - pos_a[2]) / jnp.where(
-        jnp.abs(d_w[:, 2]) < 1e-9, 1e-9, d_w[:, 2])
-    world = pos_a + t_hit[:, None] * d_w
+    uv_b, world, t_hit, z = camera_mod.reproject_via_plane(
+        cam, uv, pos_a, quat_a, pos_b, quat_b, scene.plane_z)
     hit = t_hit > 1e-6
     on_poster = (hit
                  & (jnp.abs(world[:, 0]) <= scene.half_size[0])
                  & (jnp.abs(world[:, 1]) <= scene.half_size[1]))
-
-    # world -> view B pixel
-    r_wb = se3.matrix_from_quat(quat_b) @ se3.R_BODY_FROM_OPTICAL
-    p_c = (world - pos_b) @ r_wb                        # optical frame of B
-    z = p_c[:, 2]
-    u_b = p_c[:, 0] / jnp.maximum(z, 1e-9) * cam.fx + cam.cx
-    v_b = p_c[:, 1] / jnp.maximum(z, 1e-9) * cam.fy + cam.cy
+    u_b, v_b = uv_b[:, 0], uv_b[:, 1]
     in_front = z > 1e-6
     s = model.cfg.dino_input_size
     gu = u_b * s / model.cfg.u_max / (s / gw)           # patch col in B
