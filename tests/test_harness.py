@@ -90,6 +90,9 @@ def test_run_benchmark_end_to_end(tmp_path):
     )
     assert stats.num_samples == 4
     assert os.path.exists(path)
+    # rotation-off ablation runs write ..._dino_no_rot_... like the
+    # reference's vitvs_v2_rotation_off.py
+    assert path.endswith("_dino_no_rot_standard.npz")
     assert os.path.exists(ckpt)
     d = np.load(path, allow_pickle=True)
     assert len(d["convergence_flags"]) == 4

@@ -362,7 +362,12 @@ def run_benchmark(
     path = None
     if save:
         path = results.save_results(out_dir, summaries, total_time,
-                                    config_name=config_name, method="dino",
+                                    config_name=config_name,
+                                    # the reference's rotation-off ablation
+                                    # writes ..._dino_no_rot_... npz
+                                    # (vitvs_v2_rotation_off.py)
+                                    method=("dino" if rotation_search
+                                            else "dino_no_rot"),
                                     perturbed=perturbation)
     stats = evals.convergence_stats({**{k: np.asarray(v, dtype=object)
                                         if isinstance(v, list) else v
