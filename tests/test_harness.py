@@ -301,3 +301,39 @@ def test_all_frozen_fast_forward_matches_device_run(tmp_path):
         np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float), atol=0)
     for a, b in zip(sum1["all_applied_velocity_x"], sum2["all_applied_velocity_x"]):
         np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float), atol=0)
+
+
+def test_summarize_runs_row(tmp_path):
+    """scripts/summarize_runs.py parses the reference filename pattern and
+    reproduces convergence_stats/ape/length_ratio for an archive."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.summarize_runs import summarize
+    from vitvs_tpu.harness import results
+
+    n, steps = 3, 5
+    pos = [np.linspace([0.3, 0.0, 0.61], [0.0, 0.0, 0.61], steps)] * n
+    ori = [np.tile([0.0, 0.7071068, 0.0, 0.7071068], (steps, 1))] * n
+    summaries = {
+        "initial_positions": np.asarray([p[0] for p in pos]),
+        "initial_orientations": np.asarray([o[0] for o in ori]),
+        "convergence_flags": np.array([True, True, False]),
+        "position_errors": np.array([0.5, 0.6, 30.0]),
+        "orientation_errors": np.array([0.1, 0.2, 5.0]),
+        "lowest_position_errors": np.array([0.5, 0.6, 30.0]),
+        "lowest_orientation_errors": np.array([0.1, 0.2, 5.0]),
+        "all_iteration_histories": np.array([steps, steps, steps]),
+        "all_position_histories": pos,
+        "all_orientation_histories": ori,
+    }
+    path = results.save_results(str(tmp_path), summaries, 12.5,
+                                config_name="real64", method="akaze",
+                                perturbed=True)
+    assert path.endswith("results_real64_akaze_perturbed.npz")
+    row = summarize(path)
+    assert row["method"] == "akaze" and row["mode"] == "perturbed"
+    assert row["episodes"] == 3 and row["converged"] == 2
+    assert row["rate"] == pytest.approx(100 * 2 / 3)
+    assert row["pos_cm"] == pytest.approx(0.55)
+    assert np.isfinite(row["ape_cm"]) and row["lratio"] == pytest.approx(1.0)
+    # non-results npz names are skipped
+    assert summarize(os.path.join(str(tmp_path), "ckpt_weights.npz")) is None
