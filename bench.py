@@ -27,7 +27,7 @@ import numpy as np
 N_FRAMES = 4          # distinct staged camera frames, cycled
 CHAIN_SHORT = 5
 CHAIN_LONG = 45
-REPS = 8  # best paired slope: the tunnel/chip adds run-to-run variance
+REPS = 12  # best paired slope: the tunnel/chip adds run-to-run variance
 
 
 def main():
