@@ -64,6 +64,8 @@ def main():
         # chain silently DROPPED suffixes after +cal/+nofuse).
         impl, *mods = spec.split("+")
         pp = pe = ""
+        score = ""
+        kvp = 0
         nofuse = cal = False
         for tok in mods:
             if tok.startswith("pp"):
@@ -74,6 +76,10 @@ def main():
                 cal = True
             elif tok.startswith("pe"):
                 pe = tok[2:]   # patch_embed_impl override
+            elif tok in ("relu", "sqrelu"):
+                score = tok    # attn_score redesign
+            elif tok.startswith("pool"):
+                kvp = int(tok[4:])   # kv_pool redesign
             else:
                 raise SystemExit(f"unknown variant modifier '+{tok}' in {spec!r}")
         if impl in ("pv", "qk+pv", "fused", "nomax", "nomax2", "nomax3"):
@@ -83,6 +89,10 @@ def main():
             vit = dataclasses.replace(base.vit, attn_impl=impl)
         if pe:
             vit = dataclasses.replace(vit, patch_embed_impl=pe)
+        if score:
+            vit = dataclasses.replace(vit, attn_score=score)
+        if kvp:
+            vit = dataclasses.replace(vit, kv_pool=kvp)
         model = dataclasses.replace(base, vit=vit)
         if pp:
             model = dataclasses.replace(model, pp_precision=pp)

@@ -39,6 +39,13 @@ def main():
                          " reference's real viso poster)")
     ap.add_argument("--perturb-prob", type=float, default=0.5)
     ap.add_argument("--resume", default=None, help="orbax checkpoint to start from")
+    ap.add_argument("--attn-score", default="softmax",
+                    choices=["softmax", "relu", "sqrelu"],
+                    help="serving attention score redesign to co-train for"
+                         " (ViTConfig.attn_score)")
+    ap.add_argument("--kv-pool", type=int, default=1,
+                    help="K/V patch-grid pooling to co-train for"
+                         " (ViTConfig.kv_pool)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +61,8 @@ def main():
     from vitvs_tpu.train.finetune import make_servo_train_epoch, matching_quality
 
     cfg = VSConfig(dino_input_size=args.size, model_name=args.model,
-                   layer=args.layer)
+                   layer=args.layer, attn_score=args.attn_score,
+                   kv_pool=args.kv_pool)
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
     if args.poster == "synthetic":
         scene = Scene.create(make_synthetic_poster(512, seed=0))

@@ -100,7 +100,8 @@ class ServoModel:
         if compute_dtype is None:
             compute_dtype = jnp.dtype(cfg.compute_dtype).type
         vit = _dc.replace(make_config(cfg.model_name, cfg.stride),
-                          gelu_approx=gelu_approx)
+                          gelu_approx=gelu_approx,
+                          attn_score=cfg.attn_score, kv_pool=cfg.kv_pool)
         return ServoModel(
             vit=vit,
             cfg=cfg,

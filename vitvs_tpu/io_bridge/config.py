@@ -108,6 +108,12 @@ class VSConfig:
     reference_pad_bug: bool = False
     # consecutive feature failures before aborting a sample (vitvs_v2.py:500-505)
     max_feature_failures: int = 10
+    # Serving-oriented attention redesigns (ViTConfig.attn_score / .kv_pool):
+    # 'relu'/'sqrelu' scores and/or pool x pool K/V pooling.  NOT reference
+    # parity — descriptors must be fine-tuned in-sim with the same settings
+    # (scripts/train_servo.py) and convergence re-validated before serving.
+    attn_score: str = "softmax"
+    kv_pool: int = 1
     # classical-controller parity: check the divergence abort every iteration
     # inside the step (ibvs_standard.py:459-464), not only after
     # min_iterations.  Off for the ViT controller (vitvs_v2 has no such check).

@@ -153,8 +153,20 @@ def _collect_act_amax(
             qkv = (jnp.einsum("btd,de->bte", n1, bp["qkv_kernel"])
                    + bp["qkv_bias"]).reshape(B, T, 3, h_heads, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if cfg.kv_pool > 1:
+                k = vit_mod._pool_kv(k, cfg.kv_pool)
+                v = vit_mod._pool_kv(v, cfg.kv_pool)
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-            probs = jax.nn.softmax(logits * scale, -1).astype(h.dtype)
+            if cfg.attn_score != "softmax":
+                # mirror the serving redesign so calibrated proj-input scales
+                # see the actual attention output distribution
+                e = jnp.maximum(logits, 0.0)
+                if cfg.attn_score == "sqrelu":
+                    e = e * e
+                denom = jnp.maximum(jnp.sum(e, -1, keepdims=True), 1e-6)
+                probs = (e / denom).astype(h.dtype)
+            else:
+                probs = jax.nn.softmax(logits * scale, -1).astype(h.dtype)
             attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
             proj = jnp.einsum("btd,de->bte", attn, bp["proj_kernel"]) + bp["proj_bias"]
             h = h + bp["ls1"] * proj
@@ -231,6 +243,9 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
                     bp["qkv_bias"], dt,
                     act_scale=None if acts is None else acts[0])
     mode = getattr(cfg, "quant_attn", "pv")
+    if mode == "fused" and (cfg.attn_score != "softmax" or cfg.kv_pool > 1):
+        raise ValueError("quant_attn='fused' (ops/attn_int8.py) does not "
+                         "compose with attn_score/kv_pool redesigns")
     if mode == "fused":
         # fully fused int8-QK^T kernel (ops/attn_int8.py): q/k/v stay in the
         # qkv output's natural (B, T, D) layout — the three slices below are
@@ -278,6 +293,29 @@ def _attn_unfused(qkv: jnp.ndarray, cfg: ViTConfig, dt) -> jnp.ndarray:
     D = h * hd
     mode = getattr(cfg, "quant_attn", "pv")
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if cfg.kv_pool > 1:
+        k = vit_mod._pool_kv(k, cfg.kv_pool)
+        v = vit_mod._pool_kv(v, cfg.kv_pool)
+    if cfg.attn_score != "softmax":
+        # relu / sqrelu scores with deferred normalization (ViTConfig
+        # .attn_score): supersedes every quant_attn softmax mode — there is
+        # no exp, no clamp, no row max, and no logit scale (it cancels in
+        # the quotient), so the probs-sized VPU pass is exactly [max] (+ one
+        # multiply for sqrelu).  Scores stay in the compute dtype end-to-end
+        # (bf16 serving) like 'nomax3'; the denominator accumulates in f32.
+        if mode in ("pv", "qk+pv"):
+            raise ValueError(
+                f"quant_attn={mode!r} (int8 probs) does not compose with "
+                f"attn_score={cfg.attn_score!r}")
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        e = jnp.maximum(logits, jnp.zeros((), logits.dtype))
+        if cfg.attn_score == "sqrelu":
+            e = e * e
+        denom = jnp.maximum(jnp.sum(e, axis=-1, dtype=jnp.float32), 1e-6)
+        pv = jnp.einsum("bhqk,bkhd->bqhd", e.astype(dt), v)
+        attn = (pv.astype(jnp.float32)
+                / jnp.transpose(denom, (0, 2, 1))[..., None]).astype(dt)
+        return attn.reshape(B, T, D)
     scale = 1.0 / math.sqrt(hd)
     if mode == "qk+pv":
         # int8 score matmul: per-(token, head) symmetric scales
@@ -339,6 +377,8 @@ def _attn_unfused(qkv: jnp.ndarray, cfg: ViTConfig, dt) -> jnp.ndarray:
         else:
             ls = logits.astype(jnp.float32) * scale
             e = jnp.exp(jnp.minimum(ls, cfg.nomax_clamp) - cfg.nomax_clamp)
+        # NOTE: keep this floor at 1e-30, not the variant path's 1e-6 — the
+        # `- clamp` shift makes every legitimate denom here ~exp(-30)-tiny.
         denom = jnp.maximum(jnp.sum(e, axis=-1, dtype=jnp.float32), 1e-30)
         pv = jnp.einsum("bhqk,bkhd->bqhd", e.astype(dt), v)
         attn = (pv.astype(jnp.float32)

@@ -107,6 +107,27 @@ class ViTConfig:
     # end-to-end — no f32 up-cast or bf16 down-cast passes; bf16 probs carry
     # ~0.4% relative error, the same step size as the int8-probs 'pv' path.
     nomax_clamp: float = 30.0
+    # ---- serving-oriented attention redesigns (opt-in; NOT reference
+    # parity — they change the function, so descriptors must be re-trained
+    # in-sim, scripts/train_servo.py, and the operating point re-validated
+    # closed-loop before use; docs/ROOFLINE.md has the motivating math).
+    # attn_score: 'softmax' (parity default) | 'relu' | 'sqrelu'.
+    #   relu/sqrelu replace exp with max(0, .) (optionally squared) under the
+    #   same deferred 1/denom normalization as 'nomax': the probs-sized VPU
+    #   pass loses its transcendental and needs no clamp or row max (scores
+    #   are bounded by the logits themselves), and the 1/sqrt(hd) logit
+    #   scale drops out entirely — relu(c*s)/sum relu(c*s) is scale-invariant
+    #   (for sqrelu c^2 cancels the same way), so the scores feed the MXU
+    #   exactly as the QKV epilogue produced them.  A row with no positive
+    #   logit outputs zeros (denom floor); fine-tuning learns around it.
+    attn_score: str = "softmax"
+    # kv_pool: mean-pool K and V pool x pool over the patch grid before the
+    # score matmul (the CLS row passes through): T_k shrinks ~pool^2, cutting
+    # the QK^T and PV MXU work and the probs VPU pass by the same factor
+    # while queries stay dense (one output token per input patch, as the
+    # dense-descriptor matcher requires).  Square patch grids only.
+    # Non-default values force the XLA attention path (attn_impl ignored).
+    kv_pool: int = 1
     # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
     ffn: str = "mlp"
     # explicit FFN hidden width; None = int(embed_dim * mlp_ratio) for mlp,
@@ -237,6 +258,50 @@ def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float
     return (y * scale.astype(xf.dtype) + bias.astype(xf.dtype)).astype(x.dtype)
 
 
+def _pool_kv(t: jnp.ndarray, pool: int) -> jnp.ndarray:
+    """Mean-pool the spatial tokens of (B, 1+g*g, h, hd) `pool` x `pool` over
+    the patch grid; the CLS token passes through.  Edge windows of odd grids
+    average their true element count (not the padded window size)."""
+    if pool <= 1:
+        return t
+    B, T, h, hd = t.shape
+    g = int(round(math.sqrt(T - 1)))
+    if g * g != T - 1:
+        raise ValueError(f"kv_pool requires a square patch grid; got {T - 1}"
+                         " spatial tokens")
+    cls, sp = t[:, :1], t[:, 1:].reshape(B, g, g, h * hd)
+    nw = -(-g // pool)
+    pad = nw * pool - g
+    if pad:
+        sp = jnp.pad(sp, ((0, 0), (0, pad), (0, pad), (0, 0)))
+    # zero-pad + reshape + sum (differentiable, unlike a generic
+    # lax.reduce_window) — edge means divide by true counts below
+    sums = sp.reshape(B, nw, pool, nw, pool, h * hd).sum(axis=(2, 4))
+    cnt = np.full(nw, pool, np.float32)
+    if pad:
+        cnt[-1] = g - pool * (nw - 1)
+    inv = jnp.asarray(1.0 / (cnt[:, None] * cnt[None, :]), t.dtype)
+    pooled = (sums * inv[None, :, :, None]).reshape(B, nw * nw, h, hd)
+    return jnp.concatenate([cls, pooled], axis=1)
+
+
+def _score_attention(q, k, v, cfg: ViTConfig, out_dtype, precision) -> jnp.ndarray:
+    """relu / sqrelu scored attention with deferred normalization (see
+    ViTConfig.attn_score).  q (B,Tq,h,hd), k/v (B,Tk,h,hd) -> (B,Tq,h,hd).
+    No logit scale: it cancels in the normalized quotient."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision)
+    if cfg.softmax_f32:
+        logits = logits.astype(jnp.float32)
+    e = jnp.maximum(logits, jnp.zeros((), logits.dtype))
+    if cfg.attn_score == "sqrelu":
+        e = e * e
+    denom = jnp.maximum(jnp.sum(e, axis=-1, dtype=jnp.float32), 1e-6)
+    pv = jnp.einsum("bhqk,bkhd->bqhd", e.astype(out_dtype), v,
+                    precision=precision)
+    return (pv.astype(jnp.float32)
+            / jnp.transpose(denom, (0, 2, 1))[..., None]).astype(out_dtype)
+
+
 def _attention(
     x_norm: jnp.ndarray,
     bp: Dict[str, jnp.ndarray],
@@ -249,12 +314,18 @@ def _attention(
     qkv = jnp.einsum("btd,de->bte", x_norm, bp["qkv_kernel"], precision=precision) + bp["qkv_bias"]
     qkv = qkv.reshape(B, T, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
+    if cfg.kv_pool > 1:
+        k = _pool_kv(k, cfg.kv_pool)
+        v = _pool_kv(v, cfg.kv_pool)
     interpret = cfg.attn_impl.endswith("-interpret")
     impl = cfg.attn_impl.removesuffix("-interpret")
-    use_pallas = impl in ("pallas", "fast") or (
+    use_pallas = (impl in ("pallas", "fast") or (
         impl == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
+    )) and cfg.attn_score == "softmax" and cfg.kv_pool == 1
+    if cfg.attn_score != "softmax":
+        out = _score_attention(q, k, v, cfg, x_norm.dtype, precision)
+        out = out.reshape(B, T, D)
+    elif use_pallas:
         from vitvs_tpu.ops.attention import mha_attention
 
         out = mha_attention(q, k, v, fast=impl == "fast",
