@@ -1,0 +1,70 @@
+#!/bin/bash
+# Leg-3 serving campaign driver (docs/CAMPAIGN_ATTN_REDESIGN.md).
+#
+# Designed to survive session/relay deaths: every step is skipped when its
+# artifact already exists, so re-running the script resumes the campaign.
+# Run it detached:  nohup bash scripts/run_attn_campaign.sh > /tmp/campaign.log 2>&1 &
+#
+# It stops after the 64-episode gate on purpose — promoting to the
+# 500-episode sweeps and flipping bench.py is a judgment call made by a
+# human/agent reading the numbers, not by this script.
+
+set -u
+cd "$(dirname "$0")/.."
+LOG=artifacts/logs
+mkdir -p "$LOG"
+
+echo "[campaign] waiting for the TPU relay..."
+until timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+  echo "[campaign] relay down at $(date), retrying in 180 s"
+  sleep 180
+done
+echo "[campaign] relay up at $(date)"
+
+# ---- 1. interleaved A/B of the redesigns (random ViT-B weights: Hz only) --
+if [ ! -s "$LOG/ab_redesign.log" ]; then
+  echo "[campaign] step 1: A/B"
+  timeout 4800 python -u scripts/ab_attn.py \
+    --variants "nomax3+cal+peconv,nomax3+cal+peconv+relu,nomax3+cal+peconv+sqrelu,nomax3+cal+peconv+pool2,nomax3+cal+peconv+relu+pool2" \
+    > "$LOG/ab_redesign.log" 2>&1
+  tail -8 "$LOG/ab_redesign.log"
+fi
+
+# ---- 2. co-train relu+pool2 descriptors @518 -------------------------------
+if [ ! -d artifacts/ckpt_relupool518 ]; then
+  echo "[campaign] step 2: co-training relu+pool2 @518"
+  RESUME=artifacts/ckpt_real518
+  STEPS=3000
+  if [ -d artifacts/ckpt_relupool518.part ]; then
+    RESUME=artifacts/ckpt_relupool518.part   # params-only crash resume
+    STEPS=1500
+  fi
+  timeout 21600 python -u scripts/train_servo.py \
+    --out artifacts/ckpt_relupool518 --resume "$RESUME" \
+    --size 518 --steps "$STEPS" --attn-score relu --kv-pool 2 \
+    > "$LOG/train_relupool518.log" 2>&1
+  tail -4 "$LOG/train_relupool518.log"
+fi
+
+# ---- 3. fidelity diag of the co-trained ckpt against its own semantics ----
+if [ ! -s artifacts/attn_variant_fid_relupool.json ] && [ -d artifacts/ckpt_relupool518 ]; then
+  echo "[campaign] step 3: co-trained fidelity diag"
+  timeout 3600 python -u scripts/diag_attn_variant.py \
+    --checkpoint artifacts/ckpt_relupool518 --base relu+pool2 \
+    --variants softmax --out artifacts/attn_variant_fid_relupool.json \
+    > "$LOG/diag_relupool.log" 2>&1
+  tail -3 "$LOG/diag_relupool.log"
+fi
+
+# ---- 4. 64-episode closed-loop gate (bf16 path) ----------------------------
+if [ ! -f artifacts/results_real_s518_relupool_dino_standard.npz ] && [ -d artifacts/ckpt_relupool518 ]; then
+  echo "[campaign] step 4: 64-episode gate"
+  timeout 14400 python -u -m vitvs_tpu.io_bridge.cli --method dino \
+    --config configs/real_s518_relupool.yaml \
+    --checkpoint artifacts/ckpt_relupool518 --num-samples 64 \
+    --out artifacts --resume artifacts/relupool64.ckpt \
+    > "$LOG/sweep_relupool64.log" 2>&1
+  tail -4 "$LOG/sweep_relupool64.log"
+fi
+
+echo "[campaign] done at $(date) — read the logs, then decide on the 500-episode promotions"

@@ -91,6 +91,19 @@ def main():
     print(f"[train] init matching: valid-frac {f0:.3f}, patch-acc {a0:.3f}",
           flush=True)
 
+    def save_part(params):
+        """Crash-resumable periodic save: orbax refuses to overwrite, so
+        write to a fresh dir and atomically swap it in as <out>.part
+        (resume with --resume <out>.part --steps <remaining>)."""
+        import shutil
+
+        part, new = args.out + ".part", args.out + ".part.new"
+        shutil.rmtree(new, ignore_errors=True)
+        save_params(jax.tree.map(lambda a: np.asarray(a, np.float32), params),
+                    new)
+        shutil.rmtree(part, ignore_errors=True)
+        os.replace(new, part)
+
     t0 = time.time()
     done = 0
     history = []
@@ -107,6 +120,8 @@ def main():
                                     jax.random.PRNGKey(done))
             print(f"[train]   matching: valid-frac {f:.3f}, patch-acc {a:.3f}",
                   flush=True)
+            if done < args.steps:
+                save_part(state.params)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
     save_params(jax.tree.map(lambda a: np.asarray(a, np.float32), state.params),
