@@ -22,11 +22,18 @@ done
 echo "[campaign] relay up at $(date)"
 
 # ---- 1. interleaved A/B of the redesigns (random ViT-B weights: Hz only) --
-if [ ! -s "$LOG/ab_redesign.log" ]; then
+# success marker is a .done sentinel written only on rc=0 — the log itself
+# is not a marker (a timed-out run leaves a non-empty log and would be
+# skipped forever)
+if [ ! -f "$LOG/ab_redesign.done" ]; then
   echo "[campaign] step 1: A/B"
-  timeout 4800 python -u scripts/ab_attn.py \
+  if timeout 4800 python -u scripts/ab_attn.py \
     --variants "nomax3+cal+peconv,nomax3+cal+peconv+relu,nomax3+cal+peconv+sqrelu,nomax3+cal+peconv+pool2,nomax3+cal+peconv+relu+pool2" \
-    > "$LOG/ab_redesign.log" 2>&1
+    > "$LOG/ab_redesign.log" 2>&1; then
+    touch "$LOG/ab_redesign.done"
+  else
+    echo "[campaign] A/B failed (rc=$?) — continuing to training; re-run the script to retry it"
+  fi
   tail -8 "$LOG/ab_redesign.log"
 fi
 
@@ -35,9 +42,11 @@ if [ ! -d artifacts/ckpt_relupool518 ]; then
   echo "[campaign] step 2: co-training relu+pool2 @518"
   RESUME=artifacts/ckpt_real518
   STEPS=3000
-  if [ -d artifacts/ckpt_relupool518.part ]; then
-    RESUME=artifacts/ckpt_relupool518.part   # params-only crash resume
-    STEPS=1500
+  if [ -d artifacts/ckpt_relupool518.part ] && [ -f artifacts/ckpt_relupool518.part.json ]; then
+    # params-only crash resume for the TRUE remainder (train_servo records
+    # covered steps in the sidecar; the lr schedule restarts — acceptable)
+    RESUME=artifacts/ckpt_relupool518.part
+    STEPS=$(python -c "import json; d=json.load(open('artifacts/ckpt_relupool518.part.json')); print(max(d['steps']-d['done'], 200))")
   fi
   timeout 21600 python -u scripts/train_servo.py \
     --out artifacts/ckpt_relupool518 --resume "$RESUME" \

@@ -91,10 +91,13 @@ def main():
     print(f"[train] init matching: valid-frac {f0:.3f}, patch-acc {a0:.3f}",
           flush=True)
 
-    def save_part(params):
+    def save_part(params, done):
         """Crash-resumable periodic save: orbax refuses to overwrite, so
-        write to a fresh dir and atomically swap it in as <out>.part
-        (resume with --resume <out>.part --steps <remaining>)."""
+        write to a fresh dir and atomically swap it in as <out>.part.
+        A sidecar <out>.part.json records how many steps the part covers,
+        so a resumer can compute the true remainder (resume with
+        --resume <out>.part --steps <steps - done>; note the warmup-cosine
+        schedule restarts — params-only resume, not full state)."""
         import shutil
 
         part, new = args.out + ".part", args.out + ".part.new"
@@ -103,6 +106,8 @@ def main():
                     new)
         shutil.rmtree(part, ignore_errors=True)
         os.replace(new, part)
+        with open(part + ".json", "w") as fh:
+            json.dump({"done": done, "steps": args.steps}, fh)
 
     t0 = time.time()
     done = 0
@@ -121,7 +126,7 @@ def main():
             print(f"[train]   matching: valid-frac {f:.3f}, patch-acc {a:.3f}",
                   flush=True)
             if done < args.steps:
-                save_part(state.params)
+                save_part(state.params, done)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
     save_params(jax.tree.map(lambda a: np.asarray(a, np.float32), state.params),
@@ -129,6 +134,15 @@ def main():
     with open(args.out + ".trainlog.json", "w") as fh:
         json.dump({"loss": history, "final_matching": [f, a],
                    "args": vars(args)}, fh)
+    # the completed checkpoint supersedes any crash-resume part — leaving a
+    # stale .part around would silently hijack a later retrain-from-scratch
+    import shutil
+
+    shutil.rmtree(args.out + ".part", ignore_errors=True)
+    try:
+        os.remove(args.out + ".part.json")
+    except FileNotFoundError:
+        pass
     print(f"[train] saved checkpoint to {args.out}", flush=True)
 
 

@@ -139,6 +139,18 @@ def test_variant_static_calibration_runs_and_matches():
     assert cos.min() > 0.97, cos.min()
 
 
+def test_unknown_attn_score_raises():
+    """A typo'd attn_score (YAML configs are unvalidated strings) must
+    raise, not silently serve relu attention on softmax-trained weights."""
+    cfg = _tiny_cfg(attn_score="softmx", embed_dim=96, depth=2)
+    params = _real_scale_params(cfg)
+    img = jnp.asarray(RNG.random((1, 56, 56, 3)), jnp.float32)
+    with pytest.raises(ValueError, match="unknown attn_score"):
+        jax.block_until_ready(
+            extract_descriptors(params, cfg, img, layer=1, facet="token",
+                                bin=False, compute_dtype=jnp.float32))
+
+
 def test_variant_rejects_incompatible_quant_attn():
     img = jnp.asarray(RNG.random((1, 56, 56, 3)), jnp.float32)
     for mode in ("pv", "fused"):

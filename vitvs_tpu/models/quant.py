@@ -156,18 +156,17 @@ def _collect_act_amax(
             if cfg.kv_pool > 1:
                 k = vit_mod._pool_kv(k, cfg.kv_pool)
                 v = vit_mod._pool_kv(v, cfg.kv_pool)
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
             if cfg.attn_score != "softmax":
-                # mirror the serving redesign so calibrated proj-input scales
-                # see the actual attention output distribution
-                e = jnp.maximum(logits, 0.0)
-                if cfg.attn_score == "sqrelu":
-                    e = e * e
-                denom = jnp.maximum(jnp.sum(e, -1, keepdims=True), 1e-6)
-                probs = (e / denom).astype(h.dtype)
+                # the shared redesign implementation, at the serving
+                # score dtype, so calibrated proj-input scales see the
+                # actual attention output distribution
+                attn = vit_mod._score_attention(
+                    q, k, v, cfg, h.dtype, None,
+                    score_dtype=h.dtype).reshape(B, T, D)
             else:
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
                 probs = jax.nn.softmax(logits * scale, -1).astype(h.dtype)
-            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+                attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
             proj = jnp.einsum("btd,de->bte", attn, bp["proj_kernel"]) + bp["proj_bias"]
             h = h + bp["ls1"] * proj
             n2 = vit_mod._layernorm(h, bp["norm2_scale"], bp["norm2_bias"],
@@ -297,24 +296,16 @@ def _attn_unfused(qkv: jnp.ndarray, cfg: ViTConfig, dt) -> jnp.ndarray:
         k = vit_mod._pool_kv(k, cfg.kv_pool)
         v = vit_mod._pool_kv(v, cfg.kv_pool)
     if cfg.attn_score != "softmax":
-        # relu / sqrelu scores with deferred normalization (ViTConfig
-        # .attn_score): supersedes every quant_attn softmax mode — there is
-        # no exp, no clamp, no row max, and no logit scale (it cancels in
-        # the quotient), so the probs-sized VPU pass is exactly [max] (+ one
-        # multiply for sqrelu).  Scores stay in the compute dtype end-to-end
-        # (bf16 serving) like 'nomax3'; the denominator accumulates in f32.
+        # relu / sqrelu scores (vit._score_attention — the one shared
+        # implementation): supersedes every quant_attn softmax mode.
+        # score_dtype=dt keeps the probs-sized VPU pass in the serving
+        # compute dtype (bf16) like 'nomax3'; denom accumulates in f32.
         if mode in ("pv", "qk+pv"):
             raise ValueError(
                 f"quant_attn={mode!r} (int8 probs) does not compose with "
                 f"attn_score={cfg.attn_score!r}")
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-        e = jnp.maximum(logits, jnp.zeros((), logits.dtype))
-        if cfg.attn_score == "sqrelu":
-            e = e * e
-        denom = jnp.maximum(jnp.sum(e, axis=-1, dtype=jnp.float32), 1e-6)
-        pv = jnp.einsum("bhqk,bkhd->bqhd", e.astype(dt), v)
-        attn = (pv.astype(jnp.float32)
-                / jnp.transpose(denom, (0, 2, 1))[..., None]).astype(dt)
+        attn = vit_mod._score_attention(q, k, v, cfg, dt, None,
+                                        score_dtype=dt)
         return attn.reshape(B, T, D)
     scale = 1.0 / math.sqrt(hd)
     if mode == "qk+pv":

@@ -285,13 +285,24 @@ def _pool_kv(t: jnp.ndarray, pool: int) -> jnp.ndarray:
     return jnp.concatenate([cls, pooled], axis=1)
 
 
-def _score_attention(q, k, v, cfg: ViTConfig, out_dtype, precision) -> jnp.ndarray:
+def _score_attention(q, k, v, cfg: ViTConfig, out_dtype, precision,
+                     score_dtype=None) -> jnp.ndarray:
     """relu / sqrelu scored attention with deferred normalization (see
     ViTConfig.attn_score).  q (B,Tq,h,hd), k/v (B,Tk,h,hd) -> (B,Tq,h,hd).
-    No logit scale: it cancels in the normalized quotient."""
+    No logit scale: it cancels in the normalized quotient.
+
+    The SINGLE implementation of the redesign semantics — the bf16 path,
+    the int8 serving path (quant._attn_unfused) and static calibration
+    (quant collect-amax) all call here, differing only in `score_dtype`
+    (None = cfg.softmax_f32 policy; serving passes its compute dtype to
+    keep the probs-sized pass in bf16)."""
+    if cfg.attn_score not in ("relu", "sqrelu"):
+        raise ValueError(f"unknown attn_score {cfg.attn_score!r} "
+                         "(expected 'softmax', 'relu' or 'sqrelu')")
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision)
-    if cfg.softmax_f32:
-        logits = logits.astype(jnp.float32)
+    if score_dtype is None:
+        score_dtype = jnp.float32 if cfg.softmax_f32 else logits.dtype
+    logits = logits.astype(score_dtype)
     e = jnp.maximum(logits, jnp.zeros((), logits.dtype))
     if cfg.attn_score == "sqrelu":
         e = e * e
