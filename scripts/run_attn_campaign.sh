@@ -68,9 +68,11 @@ fi
 # ---- 4. 64-episode closed-loop gate (bf16 path) ----------------------------
 if [ ! -f artifacts/results_real_s518_relupool_dino_standard.npz ] && [ -d artifacts/ckpt_relupool518 ]; then
   echo "[campaign] step 4: 64-episode gate"
+  # num_samples comes from the yaml (64): an explicit --num-samples would
+  # suffix the npz name (_n64) and the artifact check above would miss it
   timeout 14400 python -u -m vitvs_tpu.io_bridge.cli --method dino \
     --config configs/real_s518_relupool.yaml \
-    --checkpoint artifacts/ckpt_relupool518 --num-samples 64 \
+    --checkpoint artifacts/ckpt_relupool518 \
     --out artifacts --resume artifacts/relupool64.ckpt \
     > "$LOG/sweep_relupool64.log" 2>&1
   tail -4 "$LOG/sweep_relupool64.log"

@@ -293,6 +293,22 @@ def test_detection_quality_robust_to_approx_topk_recall():
     assert kept / max(n_drop, 1) > 0.6
 
 
+def test_diffusion_boundaries_do_not_wrap():
+    """The AKAZE nonlinear scale space must use reflecting (edge-clamped)
+    boundaries: with jnp.roll it was periodic, so a bright feature on one
+    image edge leaked into responses near the OPPOSITE edge."""
+    from vitvs_tpu.classical.binary import _diffuse, _hessian_det
+
+    img = jnp.zeros((64, 64), jnp.float32).at[:, :2].set(1.0)  # left bar
+    L = _diffuse(img, steps=18)
+    right = np.asarray(L[:, -6:])
+    # periodic wrap would smear ~1 px/step of the bar into the right edge;
+    # reflecting boundaries keep it exactly zero
+    assert np.abs(right).max() == 0.0, np.abs(right).max()
+    resp = np.asarray(_hessian_det(jnp.asarray(L), 1.0))
+    assert np.abs(resp[:, -6:]).max() == 0.0
+
+
 def test_akaze_matches_under_large_spin():
     """M-LDB's gradient channels must be rotated into the keypoint frame
     (AKAZE's MLDB_Fill_Values): without that, matching collapses beyond

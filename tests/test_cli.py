@@ -111,4 +111,7 @@ def test_cli_int8_static_and_dt_threaded(monkeypatch, tmp_path):
               "--out", str(tmp_path)])
     assert seen["quantized"] and seen["int8_static"]
     assert seen["cfg"].control_dt == 0.2
-    assert seen["config_name"].endswith("_int8cal_dt0.2")
+    # every result-changing flag disambiguates the npz name (incl. the
+    # explicit --num-samples override, so smoke runs cannot clobber
+    # archived full-sweep artifacts)
+    assert seen["config_name"].endswith("_int8cal_dt0.2_n2")

@@ -107,6 +107,29 @@ def test_run_benchmark_end_to_end(tmp_path):
     assert stats2.num_samples == 4
 
 
+def test_resume_refuses_foreign_checkpoint(tmp_path):
+    """A resume file written by a run with different episodes/flags must
+    refuse to load (harness/chunks.load_episodes fingerprint), not silently
+    pair the old results with the new run's start poses."""
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=12)
+    cfg = model.cfg.replace(num_samples=4, num_circles=2)
+    ckpt = str(tmp_path / "episodes.pkl")
+    common = dict(params=params, model=model, scene=scene,
+                  out_dir=str(tmp_path), rotation_search=False, chunk=2,
+                  num_steps=12, verbose=False, checkpoint_path=ckpt,
+                  save=False)
+    run_benchmark(cfg, config_name="a", **common)
+    # same run identity, different output name: legitimate resume
+    run_benchmark(cfg, config_name="b", **common)
+    # different episode subset: must refuse
+    with pytest.raises(ValueError, match="different run"):
+        run_benchmark(cfg, config_name="c", episode_indices=[0, 2], **common)
+    # different rollout length: must refuse
+    common2 = dict(common, num_steps=10)
+    with pytest.raises(ValueError, match="different run"):
+        run_benchmark(cfg, config_name="d", **common2)
+
+
 def test_run_benchmark_int8_path(tmp_path):
     """`quantized=True` serves the int8 W8A8 path end-to-end through the
     sweep driver (the configuration bench.py measures; VERDICT r2 item 3)."""

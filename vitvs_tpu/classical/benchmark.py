@@ -148,7 +148,16 @@ def run_classical_benchmark(
                                *ys_parts)
         return finalize_chunk(carry, full_ys)
 
-    episodes = chunks.load_episodes(checkpoint_path, f"bench:{method}", verbose)
+    # run-identity fingerprint (see harness/chunks.load_episodes): refuse to
+    # resume a checkpoint written by a different method/config/flag set
+    ckpt_meta = dict(
+        kind="classical", method=method,
+        n=int(n), seed=int(seed), perturbation=bool(perturbation),
+        perturb_seed=int(perturb_seed), max_corners=int(max_corners),
+        T=int(num_steps or cfg.max_iterations),
+    )
+    episodes, _ = chunks.load_episodes(checkpoint_path, f"bench:{method}",
+                                       verbose, meta=ckpt_meta)
 
     for lo in range(len(episodes), n, chunk):
         hi = min(lo + chunk, n)
@@ -165,7 +174,7 @@ def run_classical_benchmark(
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
-        chunks.save_episodes(checkpoint_path, episodes)
+        chunks.save_episodes(checkpoint_path, episodes, meta=ckpt_meta)
         if verbose:
             done = sum(bool(e.converged) for e in episodes)
             print(f"[bench:{method}] episodes {hi}/{n}; converged: {done}")

@@ -182,23 +182,34 @@ def _diffuse(img: jnp.ndarray, steps: int, dt: float = 0.15,
     def step(L, _):
         gx, gy = gradients(L)
         g = 1.0 / (1.0 + (gx * gx + gy * gy) / (k * k))
-        # divergence of g * grad L with reflecting boundaries
+        # divergence of g * grad L with reflecting (edge-clamped)
+        # boundaries: jnp.roll would wrap periodically and leak opposite
+        # image edges into the scale space (~1 px per step, deeper than the
+        # keypoint border mask over the cumulative level steps)
         fx = g * gx
         fy = g * gy
-        div = (0.5 * (jnp.roll(fx, -1, 1) - jnp.roll(fx, 1, 1))
-               + 0.5 * (jnp.roll(fy, -1, 0) - jnp.roll(fy, 1, 0)))
+        div = (0.5 * (_shift(fx, 0, -1) - _shift(fx, 0, 1))
+               + 0.5 * (_shift(fy, -1, 0) - _shift(fy, 1, 0)))
         return L + dt * div, None
 
     out, _ = jax.lax.scan(step, img, None, length=steps)
     return out
 
 
+def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift (H, W) by (dy, dx) with edge-clamped (replicate) boundaries —
+    the non-periodic counterpart of jnp.roll for stencil neighbors."""
+    py = (max(dy, 0), max(-dy, 0))
+    px = (max(dx, 0), max(-dx, 0))
+    ap = jnp.pad(a, (py, px), mode="edge")
+    H, W = a.shape
+    return ap[py[1]:py[1] + H, px[1]:px[1] + W]
+
+
 def _hessian_det(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Scale-normalized determinant of Hessian."""
     s = _blur(img, sigma)
-
-    def sh(a, dy, dx):
-        return jnp.roll(jnp.roll(a, dy, 0), dx, 1)
+    sh = _shift
 
     lxx = sh(s, 0, -1) + sh(s, 0, 1) - 2 * s
     lyy = sh(s, -1, 0) + sh(s, 1, 0) - 2 * s

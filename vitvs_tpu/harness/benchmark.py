@@ -216,13 +216,35 @@ def run_benchmark(
         textures_for = chunks.make_textures_for(
             perturb_seed, n_total, scene.texture, abs_idx, put=env_put)
 
+    # run-identity fingerprint for checkpoint/resume: a resume file written
+    # by a run with different episodes/config/flags must refuse to load, not
+    # silently pair its results with this run's start poses
+    # (config_name is results-neutral — it only names the npz — so it is
+    # deliberately NOT part of the fingerprint: resuming under a different
+    # output name is legitimate)
+    ckpt_meta = dict(
+        kind="dino", model=cfg.model_name,
+        size=int(cfg.dino_input_size), layer=int(cfg.layer),
+        abs_idx=tuple(int(i) for i in abs_idx), seed=int(seed),
+        perturbation=bool(perturbation), perturb_seed=int(perturb_seed),
+        rotation_search=bool(rotation_search),
+        quantized=bool(model.quantized), int8_static=bool(int8_static),
+        T=int(num_steps or cfg.max_iterations),
+    )
+    episodes, ckpt_extra = chunks.load_episodes(checkpoint_path, "bench",
+                                                verbose, meta=ckpt_meta)
+
     # rotation-compensation search, vmapped across episode CHUNKS (one jit
     # call per chunk instead of one per episode — at ~30 ms tunnel RTT a
     # per-episode loop costs ~15 s of pure latency per 500-episode sweep).
     # NOTE params / goal_desc / scene arrays are threaded as jit ARGUMENTS —
     # closure captures would be baked into the compile payload as constants.
     best_quats = np.asarray(quats, np.float32)
-    if rotation_search:
+    if rotation_search and "best_quats" in ckpt_extra:
+        # the search is deterministic — restore it from the resume file
+        # instead of re-running the 4-view render+forward for every episode
+        best_quats = np.asarray(ckpt_extra["best_quats"], np.float32)
+    elif rotation_search:
         @jax.jit
         def search_chunk_notx(params, goal_desc, scene, poss, qs, keys):
             return jax.vmap(lambda pos, q, k: find_best_start_pose(
@@ -257,6 +279,10 @@ def run_benchmark(
                                       pad_to_chunk(best_quats), keys)
             bq.append(np.asarray(out)[: hi - lo])
         best_quats = np.concatenate(bq)
+        # persist the search results immediately: a crash-resume then skips
+        # the whole search phase instead of recomputing it for all episodes
+        chunks.save_episodes(checkpoint_path, episodes, meta=ckpt_meta,
+                             extra={"best_quats": best_quats})
 
     # vmapped rollouts in chunks, executed as host-chained SEGMENTS so no
     # single device program runs unboundedly long (long uninterrupted
@@ -330,8 +356,6 @@ def run_benchmark(
                                *ys_parts)
         return finalize_chunk(carry, full_ys)
 
-    episodes = chunks.load_episodes(checkpoint_path, "bench", verbose)
-
     # episodes are appended whole chunks at a time, so resuming at
     # len(episodes) always lands on a chunk boundary (or past the end)
     for lo in range(len(episodes), n, chunk):
@@ -351,7 +375,8 @@ def run_benchmark(
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))
-        chunks.save_episodes(checkpoint_path, episodes)
+        chunks.save_episodes(checkpoint_path, episodes, meta=ckpt_meta,
+                             extra={"best_quats": best_quats})
         if verbose:
             done = sum(bool(e.converged) for e in episodes)
             print(f"[bench] episodes {hi}/{n}; converged so far: {done}")

@@ -49,26 +49,56 @@ def make_textures_for(perturb_seed: int, n_total: int, texture, abs_idx,
 
 
 def load_episodes(checkpoint_path: str | None, tag: str = "bench",
-                  verbose: bool = True) -> list:
+                  verbose: bool = True, meta: dict | None = None,
+                  ) -> tuple[list, dict]:
     """Resume the completed-episode list (whole chunks, so the driver's
-    `range(len(episodes), n, chunk)` always lands on a chunk boundary)."""
+    `range(len(episodes), n, chunk)` always lands on a chunk boundary).
+
+    `meta` is the caller's run-identity fingerprint (episode indices,
+    config name, flags...).  A checkpoint written by a run with a DIFFERENT
+    fingerprint refuses to resume instead of silently pairing another run's
+    results with this run's start poses.  Pre-fingerprint checkpoints (bare
+    pickled lists) resume with a warning.
+
+    Returns (episodes, extra) — `extra` carries driver-specific resumable
+    state (e.g. the dino driver's rotation-search results)."""
     if checkpoint_path and os.path.exists(checkpoint_path):
         with open(checkpoint_path, "rb") as fh:
-            episodes = pickle.load(fh)
+            payload = pickle.load(fh)
+        if isinstance(payload, list):   # pre-fingerprint format
+            episodes, saved_meta, extra = payload, None, {}
+            if meta is not None and verbose:
+                print(f"[{tag}] WARNING: {checkpoint_path} predates run "
+                      "fingerprinting — cannot verify it belongs to this run")
+        else:
+            episodes = payload["episodes"]
+            saved_meta = payload.get("meta")
+            extra = payload.get("extra") or {}
+        if meta is not None and saved_meta is not None and saved_meta != meta:
+            diff = sorted(k for k in set(saved_meta) | set(meta)
+                          if saved_meta.get(k) != meta.get(k))
+            raise ValueError(
+                f"[{tag}] resume checkpoint {checkpoint_path} was written by "
+                f"a different run (mismatched: {diff}); delete it or pass a "
+                "different --resume path")
         if verbose:
             print(f"[{tag}] resumed {len(episodes)} episodes "
                   f"from {checkpoint_path}")
-        return episodes
-    return []
+        return episodes, extra
+    return [], {}
 
 
-def save_episodes(checkpoint_path: str | None, episodes: list) -> None:
-    """Atomic (tmp + rename) episode-checkpoint write after each chunk."""
+def save_episodes(checkpoint_path: str | None, episodes: list,
+                  meta: dict | None = None,
+                  extra: dict | None = None) -> None:
+    """Atomic (tmp + rename) episode-checkpoint write after each chunk,
+    fingerprinted with the run identity (see load_episodes)."""
     if not checkpoint_path:
         return
     tmp = checkpoint_path + ".tmp"
     with open(tmp, "wb") as fh:
-        pickle.dump(episodes, fh)
+        pickle.dump({"meta": meta, "episodes": episodes,
+                     "extra": extra or {}}, fh)
     os.replace(tmp, checkpoint_path)
 
 

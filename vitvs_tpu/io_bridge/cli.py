@@ -88,12 +88,8 @@ def main(argv=None):
         # classical controller uses the 5x divergence abort (ibvs_standard.py:215)
         cfg = cfg.replace(divergence_multiplier=5.0, early_divergence_abort=True)
 
-    params = None
-    if args.checkpoint:
-        from vitvs_tpu.models.convert import load_params
-
-        params = load_params(args.checkpoint)
-
+    # flag-combination validation BEFORE the (expensive) checkpoint load so
+    # misuse fails instantly
     if args.int8_static and not args.int8:
         p.error("--int8-static requires --int8")
     if args.tp != 1 and not args.mesh:
@@ -102,7 +98,18 @@ def main(argv=None):
         p.error(f"--int8/--mesh apply to the dino pipeline only; "
                 f"--method {args.method} runs the classical controller "
                 f"(f32, single-device)")
+    if args.episodes and args.method != "dino":
+        p.error("--episodes applies to the dino pipeline only")
 
+    params = None
+    if args.checkpoint:
+        from vitvs_tpu.models.convert import load_params
+
+        params = load_params(args.checkpoint)
+
+    # every result-changing flag must disambiguate the npz name — a smoke
+    # run (--num-samples 10, --num-steps 50, --poster synthetic) must never
+    # silently overwrite an archived full-sweep artifact
     config_name = (os.path.splitext(os.path.basename(args.config))[0]
                    if args.config else "config")
     if args.int8:
@@ -110,10 +117,16 @@ def main(argv=None):
         config_name += "_int8cal" if args.int8_static else "_int8"
     if args.control_dt:
         config_name += f"_dt{args.control_dt:g}"   # dt-sensitivity sweeps
+    if args.num_samples:
+        config_name += f"_n{args.num_samples}"
+    if args.num_steps:
+        config_name += f"_steps{args.num_steps}"
+    if args.poster:
+        stem = ("synthetic" if args.poster == "synthetic" else
+                os.path.splitext(os.path.basename(args.poster))[0])
+        config_name += f"_poster-{stem}"
     episode_indices = None
     if args.episodes:
-        if args.method != "dino":
-            p.error("--episodes applies to the dino pipeline only")
         episode_indices = [int(s) for s in args.episodes.split(",")]
         config_name += "_replay"   # never shadow a full-sweep npz
 
