@@ -121,6 +121,30 @@ def test_run_benchmark_tensor_parallel_close(tiny, tmp_path):
         np.asarray(meshed["final_positions"], np.float64), atol=1e-4)
 
 
+def test_tensor_parallel_attn_redesign_close(tiny, tmp_path):
+    """relu scores + 2x2 K/V pooling must produce the same closed loop under
+    tp=2 as single-device: pooling is intra-head, so the Megatron head
+    sharding may not change it beyond float-lowering tolerance."""
+    import dataclasses
+
+    from vitvs_tpu.harness.benchmark import run_benchmark
+
+    params, model, scene, *_ = tiny
+    model = dataclasses.replace(
+        model, vit=dataclasses.replace(model.vit, attn_score="relu",
+                                       kv_pool=2))
+    cfg = model.cfg.replace(num_samples=2, num_circles=1)
+    common = dict(params=params, model=model, scene=scene,
+                  out_dir=str(tmp_path), rotation_search=False,
+                  num_steps=6, verbose=False, save=False)
+    _, _, single = run_benchmark(cfg, config_name="one", chunk=2, **common)
+    _, _, meshed = run_benchmark(cfg, config_name="tp", chunk=2,
+                                 mesh=make_mesh(8, tp=2), **common)
+    np.testing.assert_allclose(
+        np.asarray(single["final_positions"], np.float64),
+        np.asarray(meshed["final_positions"], np.float64), atol=1e-4)
+
+
 def test_sharded_batch_rollout(tiny):
     params, model, scene, goal_rgb, GOAL_POS, GOAL_QUAT = tiny
     mesh = make_mesh(8, tp=1)  # pure dp

@@ -70,6 +70,28 @@ def test_pair_batch_shapes():
     assert bool(batch["valid"].sum() > 0)
 
 
+def test_matching_quality_serves_the_quantized_path():
+    """matching_quality must evaluate the ACTUAL serving path: with a
+    quantized model it must run the int8 extraction + int8 match (it used
+    to call the float branch and crash on the quantized param pytree)."""
+    import dataclasses
+
+    from vitvs_tpu.models.quant import quantize_vit_params
+    from vitvs_tpu.train.finetune import matching_quality
+
+    params, model, scene = _setup()
+    f0, a0 = matching_quality(params, model, scene, jax.random.PRNGKey(0),
+                              num_views=2)
+    qmodel = dataclasses.replace(model, quantized=True)
+    qparams = quantize_vit_params(params)
+    f1, a1 = matching_quality(qparams, qmodel, scene, jax.random.PRNGKey(0),
+                              num_views=2)
+    for v in (f0, a0, f1, a1):
+        assert np.isfinite(v) and 0.0 <= v <= 1.0
+    # int8 serving tracks the float path's matcher behavior on this scene
+    assert abs(f1 - f0) < 0.5
+
+
 def test_training_reduces_loss():
     """A randomly initialized tiny ViT must learn matchable descriptors.
     (Chance level is ln(64) = 4.16; content priors start it at ~3.4 and 60

@@ -42,6 +42,7 @@ from vitvs_tpu.classical.features import (
     detect_corners,
     gradients,
     pack_quad,
+    shift_clamped,
     top_k_scores,
 )
 
@@ -196,14 +197,7 @@ def _diffuse(img: jnp.ndarray, steps: int, dt: float = 0.15,
     return out
 
 
-def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift (H, W) by (dy, dx) with edge-clamped (replicate) boundaries —
-    the non-periodic counterpart of jnp.roll for stencil neighbors."""
-    py = (max(dy, 0), max(-dy, 0))
-    px = (max(dx, 0), max(-dx, 0))
-    ap = jnp.pad(a, (py, px), mode="edge")
-    H, W = a.shape
-    return ap[py[1]:py[1] + H, px[1]:px[1] + W]
+_shift = shift_clamped   # shared stencil shift (classical/features.py)
 
 
 def _hessian_det(img: jnp.ndarray, sigma: float) -> jnp.ndarray:

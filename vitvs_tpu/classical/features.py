@@ -58,6 +58,19 @@ def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return out[0, :, :, 0]
 
 
+def shift_clamped(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift the last two dims by (dy, dx) with edge-clamped (replicate)
+    boundaries — the non-periodic counterpart of jnp.roll for stencil
+    neighbors (a roll would wrap opposite image edges into derivatives and
+    diffusion at the boundary)."""
+    py = (max(dy, 0), max(-dy, 0))
+    px = (max(dx, 0), max(-dx, 0))
+    pad = [(0, 0)] * (a.ndim - 2) + [py, px]
+    ap = jnp.pad(a, pad, mode="edge")
+    H, W = a.shape[-2:]
+    return ap[..., py[1]:py[1] + H, px[1]:px[1] + W]
+
+
 def gradients(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sobel gradients (gx, gy) of (H, W)."""
     sob = jnp.asarray(np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32))

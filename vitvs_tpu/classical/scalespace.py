@@ -28,7 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from vitvs_tpu.classical.features import (_blur, sift_like_descriptors,
+from vitvs_tpu.classical.features import (_blur, shift_clamped,
+                                          sift_like_descriptors,
                                           top_k_scores)
 
 SIGMA0 = 1.6
@@ -83,9 +84,10 @@ def _octave_extrema(
     is_ext = ((inner >= mx[1:-1]) & (inner > contrast_thresh)) | (
         (inner <= mn[1:-1]) & (inner < -contrast_thresh))
 
-    # finite differences on each interior level (spatial only)
-    def sh(a, dy, dx):
-        return jnp.roll(jnp.roll(a, dy, axis=-2), dx, axis=-1)
+    # finite differences on each interior level (spatial only); edge-clamped
+    # shifts, NOT roll — periodic wrap would mix opposite image edges into
+    # the boundary-ring derivatives (features.shift_clamped)
+    sh = shift_clamped
 
     dx = 0.5 * (sh(inner, 0, -1) - sh(inner, 0, 1))
     dy = 0.5 * (sh(inner, -1, 0) - sh(inner, 1, 0))
@@ -127,8 +129,11 @@ def sift_features(
     DoG keypoints over `octaves` octaves + scale-adapted 128-d descriptors.
 
     Fixed-shape: exactly `max_keypoints` slots (max_keypoints // octaves per
-    octave), invalid slots masked.  Descriptors are sampled from the octave's
-    middle Gaussian level so coarse keypoints see pre-smoothed pixels.
+    octave), invalid slots masked.  Descriptors are sampled from the octave
+    BASE image (pre-blur) with the keypoint's within-octave sigma scaling
+    the window — measured markedly better than sampling the Gaussian levels
+    on this benchmark (NN-acc 0.79 vs 0.62; see the comment at the sampling
+    site).
     """
     per_oct = max_keypoints // octaves
     assert per_oct > 0

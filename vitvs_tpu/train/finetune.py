@@ -325,21 +325,43 @@ def matching_quality(params, model: ServoModel, scene: Scene, key: jax.Array,
     goal_img, batch = make_servo_pair_batch(model, scene, key, num_views,
                                             perturb_prob=0.0)
 
+    src_q = model.source_quantized_bins
+
+    def _desc(params, img):
+        # the ACTUAL serving descriptor path (mirrors pipeline.servo_step):
+        # quantized extraction, and source-quantized bins when enabled
+        d = extract_descriptors(
+            params, model.vit, img[None], layer=model.cfg.layer,
+            facet=model.cfg.facet, bin=model.materialize_bins and not src_q,
+            compute_dtype=model.compute_dtype, precision=model.precision,
+            quantized=model.quantized)[0, 0]
+        if src_q:
+            from vitvs_tpu.match.binned import quantize_binned_int8
+
+            d = quantize_binned_int8(d, grid)
+        return d
+
+    def _match(gd, db, kk):
+        sim = None
+        if model.binned and model.fast_binned_match:
+            from vitvs_tpu.match.binned import binned_cosine_similarity
+
+            sim = binned_cosine_similarity(gd, db, grid,
+                                           precision=model.precision,
+                                           int8=model.quantized)
+        return find_correspondences(
+            gd, db, grid, k, kk,
+            distance_threshold=model.cfg.thresh_filter_keypoints,
+            precision=model.precision, use_kernel=model.use_match_kernel,
+            int8=model.quantized, sim_matrix=sim)
+
     @jax.jit
     def run(params, goal_img, batch, key):
-        gd = extract_descriptors(
-            params, model.vit, goal_img[None], layer=model.cfg.layer,
-            facet=model.cfg.facet, bin=model.materialize_bins,
-            compute_dtype=model.compute_dtype, precision=model.precision)[0, 0]
+        gd = _desc(params, goal_img)
 
         def one(img_b, idx_ab, valid_ab, kk):
-            db = extract_descriptors(
-                params, model.vit, img_b[None], layer=model.cfg.layer,
-                facet=model.cfg.facet, bin=model.materialize_bins,
-                compute_dtype=model.compute_dtype,
-                precision=model.precision)[0, 0]
-            m = find_correspondences(gd, db, grid, k, kk,
-                                     precision=model.precision)
+            db = _desc(params, img_b)
+            m = _match(gd, db, kk)
             # ground truth: patch m.points1 (goal) should land at idx_ab
             pts1 = m.points1.astype(jnp.int32)
             pts2 = m.points2.astype(jnp.int32)
