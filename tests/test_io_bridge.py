@@ -152,7 +152,7 @@ def test_io_callback_step():
     src = _SimSource(scene, model.camera,
                      GOAL_POS + jnp.array([0.0, 0.0, 0.1]), GOAL_QUAT)
     sink = _Sink()
-    step = make_io_servo_step(params, model, gd, src.get_frame, sink.send_twist)
+    step = make_io_servo_step(model, src.get_frame, sink.send_twist)
     ev, ei, v, ok = step(params, gd, jnp.zeros(6), jnp.zeros((), bool),
                          jnp.zeros(6), jax.random.PRNGKey(0))
     assert bool(ok)

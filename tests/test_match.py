@@ -239,6 +239,39 @@ def _smooth_field_descs(gh, gw, shift_rc, d=64, seed=3):
     return desc1, desc2
 
 
+def test_subpixel_refinement_uses_matched_landscape_on_fast_binned_path():
+    """With fast_binned_match the match argmax lives on the BINNED
+    similarity; the refinement must fit the parabola on that same landscape
+    (via sim_matrix), reproducing the materialized-binned path's offsets —
+    not refit raw-descriptor cosine around a binned argmax."""
+    from vitvs_tpu.match.binned import binned_cosine_similarity
+    from vitvs_tpu.models.extractor import log_bin
+
+    gh, gw = 6, 5
+    t = gh * gw
+    d1 = jnp.asarray(RNG.standard_normal((t, 24)).astype(np.float32))
+    d2 = jnp.asarray(RNG.standard_normal((t, 24)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    # fast path: match + refine on the factorized binned similarity
+    sim = binned_cosine_similarity(d1, d2, (gh, gw), precision="highest")
+    m_fast = C.find_correspondences(d1, d2, (gh, gw), 8, key, sim_matrix=sim)
+    r_fast = C.refine_matches_subpixel(d1, d2, m_fast, (gh, gw),
+                                       sim_matrix=sim)
+
+    # reference path: materialized binned descriptors end-to-end
+    b1 = log_bin(d1[None], (gh, gw))[0]
+    b2 = log_bin(d2[None], (gh, gw))[0]
+    m_mat = C.find_correspondences(b1, b2, (gh, gw), 8, key,
+                                   precision="highest")
+    r_mat = C.refine_matches_subpixel(b1, b2, m_mat, (gh, gw))
+
+    np.testing.assert_array_equal(np.asarray(r_fast.valid),
+                                  np.asarray(r_mat.valid))
+    np.testing.assert_allclose(np.asarray(r_fast.points2),
+                               np.asarray(r_mat.points2), atol=1e-3)
+
+
 def test_subpixel_refinement_recovers_fractional_shift():
     """A sub-patch translation of a smooth field is recovered to <0.12 patch
     by the parabola refinement (patch-center matching alone errs ~|shift|)."""

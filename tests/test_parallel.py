@@ -38,10 +38,24 @@ def test_shard_vit_params_layout(tiny):
     mesh = make_mesh(8, tp=2)
     sharded = shard_vit_params(params, mesh)
     qkv = sharded["blocks"]["qkv_kernel"]
-    # sharded over tp on the output dim
+    # head-major storage (L, D, 3, h, hd): sharded on the HEAD axis, so the
+    # tp split never lands mid-K/mid-V of a flat [q|k|v] column dim
     spec = qkv.sharding.spec
-    assert spec == P(None, None, "tp")
+    assert spec == P(None, None, None, "tp", None)
     np.testing.assert_array_equal(np.asarray(qkv), np.asarray(params["blocks"]["qkv_kernel"]))
+
+    # legacy flat checkpoints still shard (over the flat column dim)
+    import jax.numpy as jnp
+
+    L, D = params["blocks"]["qkv_kernel"].shape[:2]
+    legacy = dict(params)
+    legacy["blocks"] = dict(params["blocks"])
+    legacy["blocks"]["qkv_kernel"] = jnp.reshape(
+        params["blocks"]["qkv_kernel"], (L, D, -1))
+    legacy["blocks"]["qkv_bias"] = jnp.reshape(
+        params["blocks"]["qkv_bias"], (L, -1))
+    lsharded = shard_vit_params(legacy, mesh)
+    assert lsharded["blocks"]["qkv_kernel"].sharding.spec == P(None, None, "tp")
 
 
 def test_batch_servo_step_dp_tp(tiny):

@@ -148,7 +148,8 @@ class TestConvertRoundtrip:
         params, cfg = convert.from_torch_state_dict(tm.state_dict())
         assert cfg.embed_dim == 384 and cfg.depth == 2 and cfg.num_heads == 6
         assert cfg.use_layerscale
-        assert params["blocks"]["qkv_kernel"].shape == (2, 384, 1152)
+        # head-major storage: bitcast of the flat (2, 384, 1152) [q|k|v]
+        assert params["blocks"]["qkv_kernel"].shape == (2, 384, 3, 6, 64)
 
 
 class TestSwiGLU:

@@ -230,8 +230,12 @@ def servo_step(
     )
     if cfg.subpixel_matching:
         # sub-patch parabola refinement of the current image's positions —
-        # removes the patch-pitch quantization floor (see VSConfig field doc)
-        match = refine_matches_subpixel(goal_desc, cur_desc, match, grid)
+        # removes the patch-pitch quantization floor (see VSConfig field
+        # doc).  The fast-binned path refines on the SAME materialized
+        # similarity the match was made on (sim_matrix), so the parabola
+        # center is a true neighborhood max on that landscape.
+        match = refine_matches_subpixel(goal_desc, cur_desc, match, grid,
+                                        sim_matrix=sim_matrix)
 
     # patch -> camera pixels (goal points = image1, current = image2)
     round_px = not cfg.subpixel_matching

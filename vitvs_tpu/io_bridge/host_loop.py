@@ -40,13 +40,15 @@ class TwistSink(Protocol):
     def send_twist(self, twist: np.ndarray) -> None: ...
 
 
-def make_io_servo_step(params, model: ServoModel, goal_desc,
+def make_io_servo_step(model: ServoModel,
                        get_frame: Callable[[], tuple[np.ndarray, np.ndarray]],
                        send_twist: Callable[[np.ndarray], None]):
     """One jitted function = {pull frame -> full pipeline -> push twist}.
 
     The camera pull and twist push are `io_callback`s at the graph boundary
-    (ordered=True: the pull must precede the push)."""
+    (ordered=True: the pull must precede the push).  params and goal
+    descriptors are CALL-TIME arguments of the returned step (an earlier
+    signature also accepted them here and silently ignored them)."""
     cfg = model.cfg
     h, w = cfg.v_max, cfg.u_max
 

@@ -100,6 +100,20 @@ def _shift_maps(grid: tuple[int, int]) -> np.ndarray:
     return np.stack(maps).astype(np.int32)
 
 
+def quantize_rows_int8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 quantization on the amax/127 grid.
+
+    THE one implementation of the match-path quantizer — the unbinned
+    (correspondence.cosine_similarity_matrix) and factorized-binned paths
+    promise identical arithmetic, which holds only while they share this
+    exact grid (incl. the 1e-12 floor and the dtype of the inverse scale)."""
+    amax = jnp.max(jnp.abs(x), -1, keepdims=True).astype(jnp.float32)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x * (1.0 / scale).astype(x.dtype)),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def binned_cosine_similarity(
     desc_a: jnp.ndarray,
     desc_b: jnp.ndarray,
@@ -119,14 +133,8 @@ def binned_cosine_similarity(
     n0b = jnp.sum(b32 * b32, -1)
 
     if int8:
-        def _q(x):
-            amax = jnp.max(jnp.abs(x), -1, keepdims=True).astype(jnp.float32)
-            scale = jnp.maximum(amax, 1e-12) / 127.0
-            q = jnp.clip(jnp.round(x * (1.0 / scale).astype(x.dtype)),
-                         -127, 127).astype(jnp.int8)
-            return q, scale
-        qa, sa = _q(desc_a)
-        qb, sb = _q(desc_b)
+        qa, sa = quantize_rows_int8(desc_a)
+        qb, sb = quantize_rows_int8(desc_b)
         s0 = jax.lax.dot_general(qa, qb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         s0 = s0.astype(jnp.float32) * sa * sb.reshape(1, -1)

@@ -91,14 +91,10 @@ def cosine_similarity_matrix(
     a = _normalize(desc1)
     b = _normalize(desc2)
     if int8:
-        def _q(x):
-            amax = jnp.max(jnp.abs(x), -1, keepdims=True).astype(jnp.float32)
-            scale = jnp.maximum(amax, 1e-12) / 127.0
-            q = jnp.clip(jnp.round(x * (1.0 / scale).astype(x.dtype)),
-                         -127, 127).astype(jnp.int8)
-            return q, scale
-        qa, sa = _q(a)
-        qb, sb = _q(b)
+        from vitvs_tpu.match.binned import quantize_rows_int8
+
+        qa, sa = quantize_rows_int8(a)
+        qb, sb = quantize_rows_int8(b)
         acc = jax.lax.dot_general(qa, qb, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         # rows were unit-norm pre-quantization; rescale and renormalize the
@@ -147,6 +143,11 @@ def find_correspondences(
 
     if isinstance(desc1, QuantizedBinned):
         assert not use_kernel, "Pallas matcher takes raw descriptors"
+    if use_kernel and int8:
+        # the Pallas matcher computes an f32 matmul; silently serving it for
+        # an int8-serving config would bench/validate the wrong arithmetic
+        raise ValueError("use_kernel does not compose with int8 matching — "
+                         "pick one (the int8 XLA matmul is the serving path)")
     if use_kernel and sim_matrix is None:
         from vitvs_tpu.ops.matcher import dual_argmax_cosine
 
@@ -204,8 +205,17 @@ def refine_matches_subpixel(
     desc2: jnp.ndarray,
     match: MatchResult,
     num_patches: tuple[int, int],
+    sim_matrix: jnp.ndarray | None = None,
 ) -> MatchResult:
     """Sub-patch refinement of the matched positions in image 2.
+
+    `sim_matrix`: the (t, t) similarity the MATCH was made on, when one was
+    materialized (the factorized fast-binned path).  The parabola fit's
+    "center is the neighborhood max" premise only holds on that landscape —
+    fitting raw-descriptor cosine around a binned-similarity argmax could
+    land on a side lobe.  When None, the fit recomputes cosine from the
+    given descriptors (correct for every path that matched on exactly
+    those descriptors).
 
     The reference reports correspondences at PATCH CENTERS
     (`calculate_uv`, vitvs_v2.py:525-553), which quantizes the visual error
@@ -247,20 +257,25 @@ def refine_matches_subpixel(
     r2 = match.points2[:, 0].astype(jnp.int32)
     c2 = match.points2[:, 1].astype(jnp.int32)
 
-    # Gather FIRST, normalize after: only k goal rows and k*9 neighborhood
-    # rows are needed, so casting/normalizing the full (t, d) tensors in f32
-    # (2 x ~38 MB materialized at ViT-B@518 binned) would be pure HBM
-    # traffic in the serving hot loop.  Row-wise unit-normalization commutes
-    # with the row gather, so this is the same cosine to f32 rounding.
-    q = _unit_rows(desc1[r1 * gw + c1])           # (k, d) goal tokens
-
-    # 3x3 neighborhood similarities around each matched token (k, 3, 3)
+    # 3x3 neighborhood indices around each matched token
     dr = jnp.array([-1, 0, 1], jnp.int32)
     rr = jnp.clip(r2[:, None] + dr[None, :], 0, gh - 1)        # (k, 3)
     cc = jnp.clip(c2[:, None] + dr[None, :], 0, gw - 1)        # (k, 3)
     nidx = rr[:, :, None] * gw + cc[:, None, :]                # (k, 3, 3)
-    nb = _unit_rows(desc2[nidx.reshape(-1)]).reshape(*nidx.shape, -1)
-    s = jnp.einsum("kd,krcd->krc", q, nb)                      # (k, 3, 3)
+
+    if sim_matrix is not None:
+        # gather the neighborhood from the similarity the match used
+        s = sim_matrix[(r1 * gw + c1)[:, None, None], nidx].astype(f32)
+    else:
+        # Gather FIRST, normalize after: only k goal rows and k*9
+        # neighborhood rows are needed, so casting/normalizing the full
+        # (t, d) tensors in f32 (2 x ~38 MB materialized at ViT-B@518
+        # binned) would be pure HBM traffic in the serving hot loop.
+        # Row-wise unit-normalization commutes with the row gather, so this
+        # is the same cosine to f32 rounding.
+        q = _unit_rows(desc1[r1 * gw + c1])       # (k, d) goal tokens
+        nb = _unit_rows(desc2[nidx.reshape(-1)]).reshape(*nidx.shape, -1)
+        s = jnp.einsum("kd,krcd->krc", q, nb)                  # (k, 3, 3)
 
     def _axis_offset(s_m, s0, s_p, at_border):
         den = s_m + s_p - 2.0 * s0          # < 0 at a genuine peak

@@ -10,7 +10,7 @@ Name mapping (DINOv2 hub naming; DINO v1 is identical minus LayerScale):
     cls_token (1,1,D)                 -> cls_token (D,)
     pos_embed (1,1+N,D)               -> pos_embed (1+N,D)
     patch_embed.proj.weight (D,3,P,P) -> patch_embed.kernel (P,P,3,D)  [HWIO]
-    blocks.{i}.attn.qkv.weight (3D,D) -> blocks.qkv_kernel[i] (D,3D)
+    blocks.{i}.attn.qkv.weight (3D,D) -> blocks.qkv_kernel[i] (D,3,h,hd)
     blocks.{i}.ls{1,2}.gamma          -> blocks.ls{1,2}[i]   (ones if absent)
     blocks.{i}.mlp.fc{1,2}.weight     -> blocks.fc{1,2}_kernel[i] (transposed)
     norm.weight/bias                  -> norm_scale/norm_bias
@@ -95,8 +95,14 @@ def from_torch_state_dict(
         "blocks": {
             "norm1_scale": stack("blocks.{i}.norm1.weight"),
             "norm1_bias": stack("blocks.{i}.norm1.bias"),
-            "qkv_kernel": stack("blocks.{i}.attn.qkv.weight", lambda a: a.T),
-            "qkv_bias": stack("blocks.{i}.attn.qkv.bias"),
+            # head-major layout (D, 3, h, hd) — a bitcast of the torch (D, 3D)
+            # transpose; makes the tp head sharding a real axis (vit.init_vit)
+            "qkv_kernel": stack(
+                "blocks.{i}.attn.qkv.weight",
+                lambda a: a.T.reshape(D, 3, cfg.num_heads, cfg.head_dim)),
+            "qkv_bias": stack(
+                "blocks.{i}.attn.qkv.bias",
+                lambda a: a.reshape(3, cfg.num_heads, cfg.head_dim)),
             "proj_kernel": stack("blocks.{i}.attn.proj.weight", lambda a: a.T),
             "proj_bias": stack("blocks.{i}.attn.proj.bias"),
             "ls1": stack("blocks.{i}.ls1.gamma", default=ones_d),

@@ -70,6 +70,14 @@ def quantize_vit_params(
     channel folding (`smooth_alpha`; 0 disables smoothing).
     """
     blocks = {k: v.astype(jnp.float32) for k, v in params["blocks"].items()}
+    if blocks["qkv_kernel"].ndim == 5:
+        # the int8 serving path works on the flat (L, D, 3D) [q|k|v] view —
+        # a pure bitcast of the head-major (L, D, 3, h, hd) storage
+        # (vit.init_vit); per-output-column weight scales and the SmoothQuant
+        # input-channel fold are layout-independent under it
+        L_, D_ = blocks["qkv_kernel"].shape[:2]
+        blocks["qkv_kernel"] = blocks["qkv_kernel"].reshape(L_, D_, -1)
+        blocks["qkv_bias"] = blocks["qkv_bias"].reshape(L_, -1)
     qblocks = dict(blocks)
 
     if calib_images is not None:
@@ -150,8 +158,7 @@ def _collect_act_amax(
             B, T, D = h.shape
             n1 = vit_mod._layernorm(h, bp["norm1_scale"], bp["norm1_bias"],
                                     cfg.ln_eps, cfg.ln_f32)
-            qkv = (jnp.einsum("btd,de->bte", n1, bp["qkv_kernel"])
-                   + bp["qkv_bias"]).reshape(B, T, 3, h_heads, hd)
+            qkv = vit_mod._qkv_project(n1, bp, cfg, None)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             if cfg.kv_pool > 1:
                 k = vit_mod._pool_kv(k, cfg.kv_pool)

@@ -224,8 +224,14 @@ def init_vit(cfg: ViTConfig, key: jax.Array, dtype=jnp.float32) -> ViTParams:
         "blocks": {
             "norm1_scale": jnp.ones((L, D), dtype),
             "norm1_bias": jnp.zeros((L, D), dtype),
-            "qkv_kernel": tn(bk[0], (L, D, 3 * D)),
-            "qkv_bias": jnp.zeros((L, 3 * D), dtype),
+            # head-major qkv layout (L, D, 3, h, hd): a pure bitcast of the
+            # flat (L, D, 3D) [q|k|v] columns, stored reshaped so the
+            # tensor-parallel head sharding (parallel/mesh.py) aligns with a
+            # real axis — a flat layout sharded over 3D splits mid-K and
+            # forces GSPMD to all-gather the qkv activation every block.
+            # Legacy flat checkpoints still load (forward handles both).
+            "qkv_kernel": tn(bk[0], (L, D, 3, cfg.num_heads, cfg.head_dim)),
+            "qkv_bias": jnp.zeros((L, 3, cfg.num_heads, cfg.head_dim), dtype),
             "proj_kernel": tn(bk[1], (L, D, D)),
             "proj_bias": jnp.zeros((L, D), dtype),
             "ls1": jnp.full((L, D), 1e-5 if cfg.use_layerscale else 1.0, dtype),
@@ -313,6 +319,23 @@ def _score_attention(q, k, v, cfg: ViTConfig, out_dtype, precision,
             / jnp.transpose(denom, (0, 2, 1))[..., None]).astype(out_dtype)
 
 
+def _qkv_project(x_norm: jnp.ndarray, bp: Dict[str, jnp.ndarray],
+                 cfg: ViTConfig, precision) -> jnp.ndarray:
+    """x_norm (B, T, D) -> qkv (B, T, 3, h, hd).
+
+    Handles both weight layouts: head-major (D, 3, h, hd) — the storage
+    init_vit/convert produce so tp sharding aligns with the head axis — and
+    legacy flat (D, 3D) from pre-layout checkpoints.  They are bitcasts of
+    each other (the flat [q|k|v] columns are comp-then-head-major), so the
+    reshape below is free, rebinds any stored head split to THIS cfg's
+    (h, hd), and yields identical results; only the sharding behavior
+    differs under a tensor-parallel mesh."""
+    h, hd = cfg.num_heads, cfg.head_dim
+    w = bp["qkv_kernel"].reshape(bp["qkv_kernel"].shape[0], 3, h, hd)
+    b = bp["qkv_bias"].reshape(3, h, hd)
+    return jnp.einsum("btd,dchk->btchk", x_norm, w, precision=precision) + b
+
+
 def _attention(
     x_norm: jnp.ndarray,
     bp: Dict[str, jnp.ndarray],
@@ -322,8 +345,7 @@ def _attention(
     """SDPA attention matching `dino_patch/attention.py:70-80` semantics."""
     B, T, D = x_norm.shape
     h, hd = cfg.num_heads, cfg.head_dim
-    qkv = jnp.einsum("btd,de->bte", x_norm, bp["qkv_kernel"], precision=precision) + bp["qkv_bias"]
-    qkv = qkv.reshape(B, T, 3, h, hd)
+    qkv = _qkv_project(x_norm, bp, cfg, precision)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
     if cfg.kv_pool > 1:
         k = _pool_kv(k, cfg.kv_pool)
@@ -484,10 +506,9 @@ def vit_features(
     x = _run_blocks(x, _slice_blocks(blocks, 0, layer), cfg, precision)
     bp = _take_block(blocks, layer)
     x_norm = _layernorm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.ln_eps, cfg.ln_f32)
-    B, T, D = x_norm.shape
     h, hd = cfg.num_heads, cfg.head_dim
-    qkv = jnp.einsum("btd,de->bte", x_norm, bp["qkv_kernel"], precision=precision) + bp["qkv_bias"]
-    qkv = qkv.reshape(B, T, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3, B, h, T, hd)
+    qkv = _qkv_project(x_norm, bp, cfg, precision)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, h, T, hd)
     if facet == "query":
         return qkv[0]
     if facet == "key":

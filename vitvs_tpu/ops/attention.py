@@ -36,8 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from vitvs_tpu.ops.tiling import round_up as _round_up
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):

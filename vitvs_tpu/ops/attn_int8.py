@@ -58,8 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from vitvs_tpu.ops.tiling import round_up as _round_up
 
 
 def _quant_th(x: jnp.ndarray, heads: int, extra_scale: float = 1.0):

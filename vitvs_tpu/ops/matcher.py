@@ -33,8 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -3.0e38  # python float: jnp constants would be captured by the kernel
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from vitvs_tpu.ops.tiling import round_up as _round_up
 
 
 def _matcher_kernel(a_ref, b_ref, ainv_ref, binv_ref,

@@ -48,26 +48,37 @@ def shard_vit_params(params: Any, mesh: Mesh) -> Any:
     """Tensor-parallel layout for the stacked-block ViT params.
 
     Head-sharded attention + hidden-sharded MLP (Megatron layout):
-      qkv_kernel  (L, D, 3D)  -> shard output dim  (heads)   over tp
-      proj_kernel (L, D, D)   -> shard input dim             over tp
-      fc1_kernel  (L, D, H)   -> shard hidden (output) dim   over tp
-      fc2_kernel  (L, H, D)   -> shard hidden (input) dim    over tp
+      qkv_kernel  (L, D, 3, h, hd) -> shard the HEAD axis     over tp
+      proj_kernel (L, D, D)        -> shard input dim         over tp
+      fc1_kernel  (L, D, H)        -> shard hidden (out) dim  over tp
+      fc2_kernel  (L, H, D)        -> shard hidden (in) dim   over tp
     Biases of tp-sharded outputs shard likewise; everything else replicates.
+
+    The qkv head axis only exists in the head-major storage (vit.init_vit /
+    models/convert.py).  Legacy flat (L, D, 3D) checkpoints fall back to
+    sharding the flat [q|k|v] column dim — semantically correct but the
+    split lands mid-K/mid-V, so GSPMD all-gathers the qkv activation in
+    every block; re-save through convert for the aligned layout.
     """
-    specs = {
-        "qkv_kernel": P(None, None, "tp"),
-        "qkv_bias": P(None, "tp"),
-        "proj_kernel": P(None, "tp", None),
-        "fc1_kernel": P(None, None, "tp"),
-        "fc1_bias": P(None, "tp"),
-        "fc2_kernel": P(None, "tp", None),
-    }
+    def spec_for(name: str, arr) -> P:
+        if name == "qkv_kernel":
+            return (P(None, None, None, "tp", None) if arr.ndim == 5
+                    else P(None, None, "tp"))
+        if name == "qkv_bias":
+            return (P(None, None, "tp", None) if arr.ndim == 4
+                    else P(None, "tp"))
+        return {
+            "proj_kernel": P(None, "tp", None),
+            "fc1_kernel": P(None, None, "tp"),
+            "fc1_bias": P(None, "tp"),
+            "fc2_kernel": P(None, "tp", None),
+        }.get(name, P())
 
     out = {}
     for k, v in params.items():
         if k == "blocks":
             out[k] = {
-                bk: jax.device_put(bv, NamedSharding(mesh, specs.get(bk, P())))
+                bk: jax.device_put(bv, NamedSharding(mesh, spec_for(bk, bv)))
                 for bk, bv in v.items()
             }
         else:
