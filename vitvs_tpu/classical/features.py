@@ -31,6 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# THE quad-pack bilinear machinery lives in core/image.py (shared with the
+# sim renderer); re-exported here for the classical pipeline's callers.
+from vitvs_tpu.core.image import bilinear_packed as _bilinear_packed  # noqa: F401
+from vitvs_tpu.core.image import pack_quad  # noqa: F401
+
 
 def grayscale(rgb: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W, 3) [0,1] -> (..., H, W), OpenCV RGB2GRAY weights."""
@@ -145,40 +150,6 @@ def detect_corners(img: jnp.ndarray, max_corners: int = 512,
     )
 
 
-def pack_quad(*maps: jnp.ndarray) -> jnp.ndarray:
-    """Pack C maps' 2x2 bilinear neighborhoods into channels: (H*W, 4C).
-
-    TPU gathers cost ~14 cycles per fetched ROW regardless of row width, so
-    packing the quad corners (and multiple maps sampled at the same
-    coordinates) into channels turns 4C gathers per sample into ONE (the
-    same trick as sim/scene._bilinear_sample).  Build once per image; XLA
-    hoists it out of vmapped/scanned sampling loops as loop-invariant."""
-    stk = jnp.stack(maps, axis=-1)                       # (H, W, C)
-    tp = jnp.pad(stk, ((0, 1), (0, 1), (0, 0)), mode="edge")
-    quad = jnp.concatenate(
-        [tp[:-1, :-1], tp[:-1, 1:], tp[1:, :-1], tp[1:, 1:]], axis=-1)
-    return quad.reshape(-1, 4 * len(maps))               # rows: H*W
-
-
-def _bilinear_packed(quad: jnp.ndarray, hw: tuple[int, int],
-                     ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """Sample a pack_quad() image at continuous coords -> (..., C).
-
-    Bit-identical to per-map 2-D advanced indexing with edge clamping."""
-    h, w = hw
-    c4 = quad.shape[-1]
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    fy = (ys - y0)[..., None]
-    fx = (xs - x0)[..., None]
-    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    q = jnp.take(quad, y0 * w + x0, axis=0)              # (..., 4C): one gather
-    c = c4 // 4
-    v00, v01, v10, v11 = (q[..., 0:c], q[..., c:2 * c],
-                          q[..., 2 * c:3 * c], q[..., 3 * c:4 * c])
-    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
-            + (v10 * (1 - fx) + v11 * fx) * fy)
 
 
 def _bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:

@@ -82,6 +82,11 @@ def depth_u16mm_to_m(depth_mm: np.ndarray) -> np.ndarray:
 
 
 def rgb8_to_unit_float(rgb: np.ndarray, mean=None, std=None) -> np.ndarray:
+    if (mean is None) != (std is None):
+        # the C path requires both (mean3 && std3) and would silently skip
+        # normalization on a lone mean, while the numpy fallback would crash
+        # on the None std — make the contract explicit instead
+        raise ValueError("pass mean and std together (or neither)")
     r = np.ascontiguousarray(rgb, np.uint8)
     out = np.empty(r.shape, np.float32)
     lib = _load()
@@ -148,6 +153,13 @@ class NativeFrameBuffer:
     def publish(self, rgb: np.ndarray, depth_m: np.ndarray) -> None:
         rgb = np.ascontiguousarray(rgb, np.uint8)
         depth = np.ascontiguousarray(depth_m, np.float32)
+        if rgb.shape != (self.height, self.width, 3) or \
+                depth.shape != (self.height, self.width):
+            # fb_publish memcpy's width*height*3 bytes from the raw pointer —
+            # an undersized frame would be an out-of-bounds heap read
+            raise ValueError(
+                f"frame shape mismatch: rgb {rgb.shape} / depth {depth.shape}"
+                f" vs buffer ({self.height}, {self.width})")
         if self._h is not None:
             self._lib.fb_publish(self._h, rgb.ctypes.data, depth.ctypes.data,
                                  self.min_range, self.max_range)

@@ -55,8 +55,11 @@ def _random_erase(key: jax.Array, img: jnp.ndarray,
     aspect = jnp.exp(log_ratio)
     eh = jnp.clip(jnp.sqrt(area * aspect), 1, h).astype(jnp.int32)
     ew = jnp.clip(jnp.sqrt(area / aspect), 1, w).astype(jnp.int32)
-    top = jax.random.randint(ky, (), 0, jnp.maximum(h - eh, 1))
-    left = jax.random.randint(kx, (), 0, jnp.maximum(w - ew, 1))
+    # torchvision draws the origin from [0, h - eh] INCLUSIVE (randint there
+    # is torch.randint(0, h - eh + 1)): the rectangle can touch the
+    # bottom/right edge
+    top = jax.random.randint(ky, (), 0, jnp.maximum(h - eh + 1, 1))
+    left = jax.random.randint(kx, (), 0, jnp.maximum(w - ew + 1, 1))
     rows = jnp.arange(h)[:, None]
     cols = jnp.arange(w)[None, :]
     inside = (rows >= top) & (rows < top + eh) & (cols >= left) & (cols < left + ew)

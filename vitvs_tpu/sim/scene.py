@@ -29,6 +29,11 @@ import numpy as np
 from vitvs_tpu.core import se3
 from vitvs_tpu.core.camera import CameraIntrinsics
 
+# the emulated RealSense's depth range (RealSensePlugin.cpp:242-276 clip;
+# same constants as io_bridge/native.depth_m_to_u16mm and the C bridge)
+DEPTH_MIN_RANGE_M = 0.1
+DEPTH_MAX_RANGE_M = 10.0
+
 
 class Scene(NamedTuple):
     texture: jnp.ndarray       # (Ht, Wt, 3) float32 in [0, 1]
@@ -115,24 +120,13 @@ def _bilinear_sample(tex: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> 
     packed into CHANNELS of a quad texture (one edge-padded shift/concat
     pass, hoisted out of rollout scans as loop-invariant) and sampled with
     ONE flat 1-D gather: 72 ms, bit-identical output.  Gather cost tracks
-    rows-fetched, not bytes, so 4x fewer rows ~= 3.2x faster.
+    rows-fetched, not bytes, so 4x fewer rows ~= 3.2x faster.  The quad
+    machinery is shared with the classical pipeline (core/image.pack_quad).
     """
+    from vitvs_tpu.core.image import bilinear_packed, pack_quad
+
     ht, wt, _ = tex.shape
-    tp = jnp.pad(tex, ((0, 1), (0, 1), (0, 0)), mode="edge")
-    quad = jnp.concatenate(
-        [tp[:-1, :-1], tp[:-1, 1:], tp[1:, :-1], tp[1:, 1:]], axis=-1,
-    ).reshape(ht * wt, 12)  # per-texel (v00 v01 v10 v11), edge-clamped
-    r0 = jnp.floor(rows)
-    c0 = jnp.floor(cols)
-    fr = (rows - r0)[..., None]
-    fc = (cols - c0)[..., None]
-    r0 = jnp.clip(r0.astype(jnp.int32), 0, ht - 1)
-    c0 = jnp.clip(c0.astype(jnp.int32), 0, wt - 1)
-    q = jnp.take(quad, r0 * wt + c0, axis=0)  # (..., 12), one gather
-    v00, v01, v10, v11 = (q[..., 0:3], q[..., 3:6], q[..., 6:9], q[..., 9:12])
-    top = v00 * (1 - fc) + v01 * fc
-    bot = v10 * (1 - fc) + v11 * fc
-    return top * (1 - fr) + bot * fr
+    return bilinear_packed(pack_quad(tex), (ht, wt), rows, cols)
 
 
 def render(
@@ -174,7 +168,13 @@ def render(
     rgb = _bilinear_sample(scene.texture, rows, cols)
     rgb = jnp.where(on_poster[..., None], rgb, scene.background)
 
-    depth = jnp.where(hit, t, 0.0)
+    # the emulated RealSense clips to its [min_range, max_range] and
+    # publishes 0 ("no return") outside it (RealSensePlugin.cpp:242-276;
+    # the native bridge and io_bridge/native.py apply the same clip) — a
+    # grazing 50 m hit must become the no-return sentinel, not a real depth
+    # that cannot even exist in the uint16-mm wire format
+    in_range = (t >= DEPTH_MIN_RANGE_M) & (t <= DEPTH_MAX_RANGE_M)
+    depth = jnp.where(hit & in_range, t, 0.0)
     if quantize_depth_mm:
         depth = jnp.round(depth * 1000.0) / 1000.0
     return rgb, depth
