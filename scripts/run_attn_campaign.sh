@@ -78,4 +78,27 @@ if [ ! -f artifacts/results_real_s518_relupool_dino_standard.npz ] && [ -d artif
   tail -4 "$LOG/sweep_relupool64.log"
 fi
 
-echo "[campaign] done at $(date) — read the logs, then decide on the 500-episode promotions"
+# ---- 5. auto-promote to the full 500-episode standard sweep -----------------
+# (the npz name carries the explicit --num-samples suffix: _n500)
+GATE=artifacts/results_real_s518_relupool_dino_standard.npz
+FULL=artifacts/results_real_s518_relupool_n500_dino_standard.npz
+if [ -f "$GATE" ] && [ ! -f "$FULL" ]; then
+  CONV=$(python -c "
+import numpy as np
+d = np.load('$GATE', allow_pickle=True)
+print(int(np.sum(np.asarray(d['convergence_flags'], bool))))")
+  echo "[campaign] 64-episode gate: $CONV/64 converged"
+  if [ "$CONV" -ge 60 ]; then
+    echo "[campaign] step 5: promoting to the 500-episode standard sweep"
+    timeout 21600 python -u -m vitvs_tpu.io_bridge.cli --method dino \
+      --config configs/real_s518_relupool.yaml \
+      --checkpoint artifacts/ckpt_relupool518 --num-samples 500 \
+      --out artifacts --resume artifacts/relupool500.ckpt \
+      > "$LOG/sweep_relupool500.log" 2>&1
+    tail -4 "$LOG/sweep_relupool500.log"
+  else
+    echo "[campaign] gate below 60/64 — stopping for human review"
+  fi
+fi
+
+echo "[campaign] done at $(date) — review the logs; bench.py flip + docs are a human decision"
