@@ -37,6 +37,60 @@ if [ ! -f "$LOG/ab_redesign.done" ]; then
   tail -8 "$LOG/ab_redesign.log"
 fi
 
+# ---- 1b. ZERO-SHOT pool2 gate on the int8 serving graph --------------------
+# kv_pool=2 with softmax kept needs no co-training (fidelity diag: vel_rel
+# 0.22, inside the range the validated int8 path sits at), and its projected
+# ~1.7 ms/iter already clears the 500 Hz north star.  This runs the EXACT
+# bench-candidate graph (int8 W8A8 + static cal + nomax3 + conv patch-embed
+# + kv_pool 2) closed-loop on the trained softmax checkpoint.
+GATE2=artifacts/results_real_s518_pool2_int8cal_dino_standard.npz
+if [ ! -f "$GATE2" ]; then
+  echo "[campaign] step 1b: zero-shot pool2 int8 64-episode gate"
+  timeout 14400 python -u -m vitvs_tpu.io_bridge.cli --method dino \
+    --config configs/real_s518_pool2.yaml \
+    --checkpoint artifacts/ckpt_real518 --int8 --int8-static \
+    --out artifacts --resume artifacts/pool2_64.ckpt \
+    > "$LOG/sweep_pool2_64.log" 2>&1
+  tail -4 "$LOG/sweep_pool2_64.log"
+fi
+FULL2=artifacts/results_real_s518_pool2_int8cal_n500_dino_standard.npz
+if [ -f "$GATE2" ] && [ ! -f "$FULL2" ]; then
+  CONV=$(python -c "
+import numpy as np
+d = np.load('$GATE2', allow_pickle=True)
+print(int(np.sum(np.asarray(d['convergence_flags'], bool))))")
+  echo "[campaign] pool2 zero-shot gate: $CONV/64 converged"
+  if [ "$CONV" -ge 60 ]; then
+    echo "[campaign] step 1c: pool2 500-episode standard sweep"
+    timeout 21600 python -u -m vitvs_tpu.io_bridge.cli --method dino \
+      --config configs/real_s518_pool2.yaml \
+      --checkpoint artifacts/ckpt_real518 --int8 --int8-static \
+      --num-samples 500 --out artifacts --resume artifacts/pool2_500.ckpt \
+      > "$LOG/sweep_pool2_500.log" 2>&1
+    tail -4 "$LOG/sweep_pool2_500.log"
+  else
+    echo "[campaign] pool2 zero-shot gate below 60/64 — relying on co-training"
+  fi
+fi
+PERT2=artifacts/results_real_s518_pool2_int8cal_n500_dino_perturbed.npz
+if [ -f "$FULL2" ] && [ ! -f "$PERT2" ]; then
+  CONV=$(python -c "
+import numpy as np
+d = np.load('$FULL2', allow_pickle=True)
+print(int(np.sum(np.asarray(d['convergence_flags'], bool))))")
+  echo "[campaign] pool2 500-episode standard: $CONV/500"
+  if [ "$CONV" -ge 475 ]; then
+    echo "[campaign] step 1d: pool2 500-episode perturbed sweep"
+    timeout 21600 python -u -m vitvs_tpu.io_bridge.cli --method dino \
+      --config configs/real_s518_pool2.yaml \
+      --checkpoint artifacts/ckpt_real518 --int8 --int8-static \
+      --num-samples 500 --perturbation \
+      --out artifacts --resume artifacts/pool2_500p.ckpt \
+      > "$LOG/sweep_pool2_500p.log" 2>&1
+    tail -4 "$LOG/sweep_pool2_500p.log"
+  fi
+fi
+
 # ---- 2. co-train relu+pool2 descriptors @518 -------------------------------
 if [ ! -d artifacts/ckpt_relupool518 ]; then
   echo "[campaign] step 2: co-training relu+pool2 @518"
@@ -98,6 +152,25 @@ print(int(np.sum(np.asarray(d['convergence_flags'], bool))))")
     tail -4 "$LOG/sweep_relupool500.log"
   else
     echo "[campaign] gate below 60/64 — stopping for human review"
+  fi
+fi
+
+# ---- 6. relupool perturbed sweep (only after a strong 500 standard) --------
+FULLP=artifacts/results_real_s518_relupool_n500_dino_perturbed.npz
+if [ -f "$FULL" ] && [ ! -f "$FULLP" ]; then
+  CONV=$(python -c "
+import numpy as np
+d = np.load('$FULL', allow_pickle=True)
+print(int(np.sum(np.asarray(d['convergence_flags'], bool))))")
+  echo "[campaign] relupool 500-episode standard: $CONV/500"
+  if [ "$CONV" -ge 475 ]; then
+    echo "[campaign] step 6: relupool 500-episode perturbed sweep"
+    timeout 21600 python -u -m vitvs_tpu.io_bridge.cli --method dino \
+      --config configs/real_s518_relupool.yaml \
+      --checkpoint artifacts/ckpt_relupool518 --num-samples 500 \
+      --perturbation --out artifacts --resume artifacts/relupool500p.ckpt \
+      > "$LOG/sweep_relupool500p.log" 2>&1
+    tail -4 "$LOG/sweep_relupool500p.log"
   fi
 fi
 

@@ -31,6 +31,15 @@ def test_generate_episode_starts_deterministic():
     np.testing.assert_array_equal(q1, q2)
 
 
+def test_generate_episode_starts_rejects_empty_sweep():
+    # num_samples < num_circles floors to 0 per circle; must fail loudly,
+    # not return an empty sweep (the int8-static calibration path would
+    # then crash on a shape mismatch instead)
+    cfg = VSConfig(num_samples=2, num_circles=4)
+    with pytest.raises(ValueError, match="empty sweep"):
+        samplers.generate_episode_starts(cfg, seed=41)
+
+
 def test_positions_within_reference_box():
     cfg = VSConfig(num_samples=100, num_circles=4)
     p, q, n = samplers.generate_episode_starts(cfg)

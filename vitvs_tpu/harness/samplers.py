@@ -86,6 +86,12 @@ def generate_episode_starts(cfg: VSConfig, seed: int = 41):
     (vitvs_v2.py:1383-1418).  Returns (positions (n,3), quats (n,4), n)."""
     per = cfg.num_samples // cfg.num_circles
     n = cfg.num_circles * per
+    if n == 0:
+        raise ValueError(
+            f"num_samples={cfg.num_samples} < num_circles={cfg.num_circles} "
+            "yields an empty sweep (the reference distributes samples evenly "
+            "over the focal circles, vitvs_v2.py:988-1008); raise num_samples "
+            "or lower num_circles")
     rng = np.random.RandomState(seed)  # legacy stream == np.random.seed(seed)
     positions = sample_camera_positions(BOX_SAMPLE_SIZE, n, DESIRED_POSITION, rng)
     focal = sample_focal_points(n, REFERENCE_POINT, cfg.num_circles,
