@@ -66,6 +66,7 @@ def main():
         pp = pe = ""
         score = ""
         kvp = 0
+        kvimpl = ""
         nofuse = cal = False
         for tok in mods:
             if tok.startswith("pp"):
@@ -80,6 +81,8 @@ def main():
                 score = tok    # attn_score redesign
             elif tok.startswith("pool"):
                 kvp = int(tok[4:])   # kv_pool redesign
+            elif tok == "mm":
+                kvimpl = "matmul"    # kv_pool via static pooling matmul
             else:
                 raise SystemExit(f"unknown variant modifier '+{tok}' in {spec!r}")
         if impl in ("pv", "qk+pv", "fused", "nomax", "nomax2", "nomax3"):
@@ -93,6 +96,8 @@ def main():
             vit = dataclasses.replace(vit, attn_score=score)
         if kvp:
             vit = dataclasses.replace(vit, kv_pool=kvp)
+        if kvimpl:
+            vit = dataclasses.replace(vit, kv_pool_impl=kvimpl)
         model = dataclasses.replace(base, vit=vit)
         if pp:
             model = dataclasses.replace(model, pp_precision=pp)

@@ -66,6 +66,19 @@ def test_pool_kv_is_exact_patch_grid_mean(g, pool):
             np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("g,pool", [(4, 2), (5, 2), (7, 3), (37, 2)])
+def test_pool_kv_matmul_impl_matches_window(g, pool):
+    # the 'matmul' impl (static pooling-matrix einsum, no grid reshapes) must
+    # compute the same means as the 'window' reference impl
+    B, h, hd = 2, 3, 4
+    t = jnp.asarray(RNG.standard_normal((B, 1 + g * g, h, hd)), jnp.float32)
+    ref = np.asarray(vit_mod._pool_kv(t, pool, "window"))
+    got = np.asarray(vit_mod._pool_kv(t, pool, "matmul"))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    with pytest.raises(ValueError, match="kv_pool_impl"):
+        vit_mod._pool_kv(t, pool, "nope")
+
+
 def test_pool_kv_identity_and_nonsquare_guard():
     t = jnp.asarray(RNG.standard_normal((1, 1 + 9, 2, 4)), jnp.float32)
     assert vit_mod._pool_kv(t, 1) is t

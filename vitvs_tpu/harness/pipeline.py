@@ -101,7 +101,8 @@ class ServoModel:
             compute_dtype = jnp.dtype(cfg.compute_dtype).type
         vit = _dc.replace(make_config(cfg.model_name, cfg.stride),
                           gelu_approx=gelu_approx,
-                          attn_score=cfg.attn_score, kv_pool=cfg.kv_pool)
+                          attn_score=cfg.attn_score, kv_pool=cfg.kv_pool,
+                          kv_pool_impl=cfg.kv_pool_impl)
         return ServoModel(
             vit=vit,
             cfg=cfg,

@@ -114,6 +114,7 @@ class VSConfig:
     # (scripts/train_servo.py) and convergence re-validated before serving.
     attn_score: str = "softmax"
     kv_pool: int = 1
+    kv_pool_impl: str = "window"   # 'window' | 'matmul' (ViTConfig, same means)
     # classical-controller parity: check the divergence abort every iteration
     # inside the step (ibvs_standard.py:459-464), not only after
     # min_iterations.  Off for the ViT controller (vitvs_v2 has no such check).

@@ -161,8 +161,8 @@ def _collect_act_amax(
             qkv = vit_mod._qkv_project(n1, bp, cfg, None)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             if cfg.kv_pool > 1:
-                k = vit_mod._pool_kv(k, cfg.kv_pool)
-                v = vit_mod._pool_kv(v, cfg.kv_pool)
+                k = vit_mod._pool_kv(k, cfg.kv_pool, cfg.kv_pool_impl)
+                v = vit_mod._pool_kv(v, cfg.kv_pool, cfg.kv_pool_impl)
             if cfg.attn_score != "softmax":
                 # the shared redesign implementation, at the serving
                 # score dtype, so calibrated proj-input scales see the
@@ -300,8 +300,8 @@ def _attn_unfused(qkv: jnp.ndarray, cfg: ViTConfig, dt) -> jnp.ndarray:
     mode = getattr(cfg, "quant_attn", "pv")
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if cfg.kv_pool > 1:
-        k = vit_mod._pool_kv(k, cfg.kv_pool)
-        v = vit_mod._pool_kv(v, cfg.kv_pool)
+        k = vit_mod._pool_kv(k, cfg.kv_pool, cfg.kv_pool_impl)
+        v = vit_mod._pool_kv(v, cfg.kv_pool, cfg.kv_pool_impl)
     if cfg.attn_score != "softmax":
         # relu / sqrelu scores (vit._score_attention — the one shared
         # implementation): supersedes every quant_attn softmax mode.

@@ -29,6 +29,7 @@ matching the vendored DINOv2 block (`dino_patch/block.py:44-117`,
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict
 
@@ -128,6 +129,14 @@ class ViTConfig:
     # dense-descriptor matcher requires).  Square patch grids only.
     # Non-default values force the XLA attention path (attn_impl ignored).
     kv_pool: int = 1
+    # kv_pool_impl: 'window' reshapes to the grid and window-sums (VPU
+    # reshape/pad/concat chain); 'matmul' applies one static (T_out, T_in)
+    # pooling matrix on the token axis — no layout churn, MXU-shaped, and
+    # fusable with the surrounding attention matmuls.  Bit-comparable means
+    # up to f32 summation order; the A/B measured the window chain +27%
+    # SLOWER than no pooling at ViT-B@518 (artifacts/logs/ab_redesign.log),
+    # which is what this variant exists to isolate.
+    kv_pool_impl: str = "window"
     # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
     ffn: str = "mlp"
     # explicit FFN hidden width; None = int(embed_dim * mlp_ratio) for mlp,
@@ -264,17 +273,50 @@ def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float
     return (y * scale.astype(xf.dtype) + bias.astype(xf.dtype)).astype(x.dtype)
 
 
-def _pool_kv(t: jnp.ndarray, pool: int) -> jnp.ndarray:
+def _pool_grid_dims(T: int, pool: int):
+    g = int(round(math.sqrt(T - 1)))
+    if g * g != T - 1:
+        raise ValueError(f"kv_pool requires a square patch grid; got {T - 1}"
+                         " spatial tokens")
+    nw = -(-g // pool)
+    return g, nw
+
+
+@functools.lru_cache(maxsize=8)
+def _pool_matrix(T: int, pool: int) -> np.ndarray:
+    """Static (1+nw*nw, T) mean-pooling matrix over the (1 + g*g)-token axis:
+    row 0 passes CLS through; window rows hold 1/count at their member
+    patches (edge windows of odd grids use their true element count)."""
+    g, nw = _pool_grid_dims(T, pool)
+    P = np.zeros((1 + nw * nw, T), np.float32)
+    P[0, 0] = 1.0
+    for wi in range(nw):
+        rows = range(wi * pool, min((wi + 1) * pool, g))
+        for wj in range(nw):
+            cols = range(wj * pool, min((wj + 1) * pool, g))
+            w = 1.0 / (len(rows) * len(cols))
+            for r in rows:
+                for c in cols:
+                    P[1 + wi * nw + wj, 1 + r * g + c] = w
+    return P
+
+
+def _pool_kv(t: jnp.ndarray, pool: int, impl: str = "window") -> jnp.ndarray:
     """Mean-pool the spatial tokens of (B, 1+g*g, h, hd) `pool` x `pool` over
     the patch grid; the CLS token passes through.  Edge windows of odd grids
     average their true element count (not the padded window size)."""
     if pool <= 1:
         return t
     B, T, h, hd = t.shape
-    g = int(round(math.sqrt(T - 1)))
-    if g * g != T - 1:
-        raise ValueError(f"kv_pool requires a square patch grid; got {T - 1}"
-                         " spatial tokens")
+    if impl == "matmul":
+        # one token-axis matmul with a static pooling matrix: no grid
+        # reshape/pad/concat chain, MXU-shaped and fusable (see ViTConfig)
+        P = jnp.asarray(_pool_matrix(T, pool), t.dtype)
+        return jnp.einsum("ot,bthd->bohd", P, t)
+    if impl != "window":
+        raise ValueError(f"unknown kv_pool_impl {impl!r} "
+                         "(expected 'window' or 'matmul')")
+    g, _ = _pool_grid_dims(T, pool)
     cls, sp = t[:, :1], t[:, 1:].reshape(B, g, g, h * hd)
     nw = -(-g // pool)
     pad = nw * pool - g
@@ -348,8 +390,8 @@ def _attention(
     qkv = _qkv_project(x_norm, bp, cfg, precision)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
     if cfg.kv_pool > 1:
-        k = _pool_kv(k, cfg.kv_pool)
-        v = _pool_kv(v, cfg.kv_pool)
+        k = _pool_kv(k, cfg.kv_pool, cfg.kv_pool_impl)
+        v = _pool_kv(v, cfg.kv_pool, cfg.kv_pool_impl)
     interpret = cfg.attn_impl.endswith("-interpret")
     impl = cfg.attn_impl.removesuffix("-interpret")
     use_pallas = (impl in ("pallas", "fast") or (
