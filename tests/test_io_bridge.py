@@ -55,6 +55,21 @@ def test_config_roundtrip(tmp_path):
     assert cfg2.c_x == cfg.u_max / 2
 
 
+def test_serving_redesign_keys_thread_to_the_vit_config(tmp_path):
+    """attn_score / kv_pool / kv_pool_impl must flow yaml -> VSConfig ->
+    ServoModel.create -> ViTConfig (the pool-campaign configs rely on it)."""
+    from vitvs_tpu.harness.pipeline import ServoModel
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text("attn_score: softmax\nkv_pool: 2\nkv_pool_impl: matmul\n"
+                 "model_name: dinov2_vits14\n")
+    cfg = load_config(p)
+    model = ServoModel.create(cfg)
+    assert model.vit.kv_pool == 2
+    assert model.vit.kv_pool_impl == "matmul"
+    assert model.vit.attn_score == "softmax"
+
+
 def test_load_reference_format_config(tmp_path):
     """A YAML with exactly the reference's keys (config.yaml:1-39) loads."""
     p = tmp_path / "ref.yaml"
