@@ -85,6 +85,12 @@ def main():
                 kvimpl = "matmul"    # kv_pool via static pooling matmul
             else:
                 raise SystemExit(f"unknown variant modifier '+{tok}' in {spec!r}")
+        if kvimpl and not kvp:
+            # '+mm' without '+poolN' would be a silent no-op vs base — an A/B
+            # spec typo that reads back as a misleading "no difference"
+            raise SystemExit(
+                f"'+mm' requires a '+poolN' modifier in {spec!r} "
+                "(kv_pool_impl is inert at kv_pool=1)")
         if impl in ("pv", "qk+pv", "fused", "nomax", "nomax2", "nomax3"):
             # int8 attention modes (models/quant.py) rather than attn_impl
             vit = dataclasses.replace(base.vit, quant_attn=impl)

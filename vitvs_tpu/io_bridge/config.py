@@ -120,6 +120,19 @@ class VSConfig:
     # min_iterations.  Off for the ViT controller (vitvs_v2 has no such check).
     early_divergence_abort: bool = False
 
+    def __post_init__(self) -> None:
+        # Fail at config-construction time, not deep inside the first jitted
+        # forward after checkpoint load + calibration (a YAML typo would
+        # otherwise burn a campaign slot under the scripts' timeout flow).
+        if self.kv_pool_impl not in ("window", "matmul"):
+            raise ValueError(
+                f"kv_pool_impl must be 'window' or 'matmul', "
+                f"got {self.kv_pool_impl!r}")
+        if self.attn_score not in ("softmax", "relu", "sqrelu"):
+            raise ValueError(
+                f"attn_score must be 'softmax', 'relu' or 'sqrelu', "
+                f"got {self.attn_score!r}")
+
     @property
     def c_x(self) -> float:
         return self.u_max / 2.0  # reference vitvs_v2.py:282

@@ -310,9 +310,12 @@ def _pool_kv(t: jnp.ndarray, pool: int, impl: str = "window") -> jnp.ndarray:
     B, T, h, hd = t.shape
     if impl == "matmul":
         # one token-axis matmul with a static pooling matrix: no grid
-        # reshape/pad/concat chain, MXU-shaped and fusable (see ViTConfig)
+        # reshape/pad/concat chain, MXU-shaped and fusable (see ViTConfig).
+        # HIGHEST precision so f32 inputs get exact f32 means like the
+        # window impl's adds (P is tiny; the matmul is cheap either way).
         P = jnp.asarray(_pool_matrix(T, pool), t.dtype)
-        return jnp.einsum("ot,bthd->bohd", P, t)
+        return jnp.einsum("ot,bthd->bohd", P, t,
+                          precision=jax.lax.Precision.HIGHEST)
     if impl != "window":
         raise ValueError(f"unknown kv_pool_impl {impl!r} "
                          "(expected 'window' or 'matmul')")
