@@ -29,34 +29,19 @@ namespace {
 struct FrameBuffer {
   int width = 0;
   int height = 0;
+  bool has_ir = false;            // stereo-IR planes allocated
   std::atomic<uint64_t> seq{0};   // even = stable, odd = write in progress
   std::atomic<uint64_t> stamp{0}; // monotonically increasing frame id
   std::vector<uint8_t> rgb;       // H*W*3
   std::vector<uint16_t> depth_mm; // H*W
+  std::vector<uint8_t> ir1;       // H*W mono (left IR, L_INT8 wire format)
+  std::vector<uint8_t> ir2;       // H*W mono (right IR)
 };
 
-}  // namespace
-
-extern "C" {
-
-void* fb_create(int width, int height) {
-  auto* fb = new FrameBuffer();
-  fb->width = width;
-  fb->height = height;
-  fb->rgb.resize(static_cast<size_t>(width) * height * 3);
-  fb->depth_mm.resize(static_cast<size_t>(width) * height);
-  return fb;
-}
-
-void fb_destroy(void* h) { delete static_cast<FrameBuffer*>(h); }
-
-// Producer: publish a frame (rgb HxWx3 uint8, depth HxW float meters).
-// Depth is converted to uint16 mm with [min_range, max_range] clipping:
-// out-of-range or non-finite readings become 0 ("no return"), matching the
-// plugin's clipping behaviour.
-void fb_publish(void* h, const uint8_t* rgb, const float* depth_m,
-                float min_range_m, float max_range_m) {
-  auto* fb = static_cast<FrameBuffer*>(h);
+// Shared writer body: the seqlock dance around the rgb/depth(/IR) copies.
+void publish_impl(FrameBuffer* fb, const uint8_t* rgb, const float* depth_m,
+                  const uint8_t* ir1, const uint8_t* ir2, float min_range_m,
+                  float max_range_m) {
   const size_t n = static_cast<size_t>(fb->width) * fb->height;
   // -> odd: writing.  acq_rel RMW: the acquire half keeps the data writes
   // below from being reordered above the increment (a bare release would
@@ -71,8 +56,57 @@ void fb_publish(void* h, const uint8_t* rgb, const float* depth_m,
     }
     fb->depth_mm[i] = mm;
   }
+  if (fb->has_ir && ir1 && ir2) {
+    std::memcpy(fb->ir1.data(), ir1, n);
+    std::memcpy(fb->ir2.data(), ir2, n);
+  }
   fb->stamp.fetch_add(1, std::memory_order_relaxed);
   fb->seq.fetch_add(1, std::memory_order_release);  // -> even: stable
+}
+
+}  // namespace
+
+extern "C" {
+
+void* fb_create(int width, int height) {
+  auto* fb = new FrameBuffer();
+  fb->width = width;
+  fb->height = height;
+  fb->rgb.resize(static_cast<size_t>(width) * height * 3);
+  fb->depth_mm.resize(static_cast<size_t>(width) * height);
+  return fb;
+}
+
+// Like fb_create, but also allocates the two mono IR planes — the full
+// four-sensor surface of the emulated RealSense (color, depth, 2x IR;
+// RealSensePlugin.cpp:26-27 binds ired1/ired2 alongside color/depth).
+void* fb_create_ir(int width, int height) {
+  auto* fb = static_cast<FrameBuffer*>(fb_create(width, height));
+  fb->has_ir = true;
+  fb->ir1.resize(static_cast<size_t>(width) * height);
+  fb->ir2.resize(static_cast<size_t>(width) * height);
+  return fb;
+}
+
+void fb_destroy(void* h) { delete static_cast<FrameBuffer*>(h); }
+
+// Producer: publish a frame (rgb HxWx3 uint8, depth HxW float meters).
+// Depth is converted to uint16 mm with [min_range, max_range] clipping:
+// out-of-range or non-finite readings become 0 ("no return"), matching the
+// plugin's clipping behaviour.
+void fb_publish(void* h, const uint8_t* rgb, const float* depth_m,
+                float min_range_m, float max_range_m) {
+  publish_impl(static_cast<FrameBuffer*>(h), rgb, depth_m, nullptr, nullptr,
+               min_range_m, max_range_m);
+}
+
+// Producer with the stereo-IR pair (each HxW uint8 mono, L_INT8 wire
+// format like the plugin's infra1/infra2 streams).  Requires fb_create_ir.
+void fb_publish_ir(void* h, const uint8_t* rgb, const float* depth_m,
+                   const uint8_t* ir1, const uint8_t* ir2, float min_range_m,
+                   float max_range_m) {
+  publish_impl(static_cast<FrameBuffer*>(h), rgb, depth_m, ir1, ir2,
+               min_range_m, max_range_m);
 }
 
 // Consumer: copy the latest consistent frame.  Returns the frame stamp
@@ -81,10 +115,13 @@ void fb_publish(void* h, const uint8_t* rgb, const float* depth_m,
 uint64_t fb_latest(void* h, uint8_t* rgb_out, float* depth_m_out) {
   auto* fb = static_cast<FrameBuffer*>(h);
   const size_t n = static_cast<size_t>(fb->width) * fb->height;
-  uint64_t s0, s1, stamp;
+  uint64_t s0, s1 = 0, stamp = 0;
   do {
     s0 = fb->seq.load(std::memory_order_acquire);
-    if (s0 & 1) continue;  // write in progress
+    if (s0 & 1) {  // write in progress; force the retry check to fail
+      s1 = s0 + 1;
+      continue;
+    }
     std::memcpy(rgb_out, fb->rgb.data(), n * 3);
     for (size_t i = 0; i < n; ++i) {
       depth_m_out[i] = fb->depth_mm[i] * 0.001f;
@@ -95,6 +132,33 @@ uint64_t fb_latest(void* h, uint8_t* rgb_out, float* depth_m_out) {
     // the data loads above from sinking below the validation load — an
     // acquire load alone does not order PRECEDING loads, so on weakly-
     // ordered CPUs a torn frame could otherwise pass the s0==s1 check.
+    std::atomic_thread_fence(std::memory_order_acquire);
+    s1 = fb->seq.load(std::memory_order_relaxed);
+  } while (s0 != s1);
+  return stamp;
+}
+
+// Consumer for the full four-sensor frame; ir1_out/ir2_out each H*W uint8.
+// Same seqlock validation as fb_latest.  Requires fb_create_ir.
+uint64_t fb_latest_ir(void* h, uint8_t* rgb_out, float* depth_m_out,
+                      uint8_t* ir1_out, uint8_t* ir2_out) {
+  auto* fb = static_cast<FrameBuffer*>(h);
+  if (!fb->has_ir) return 0;
+  const size_t n = static_cast<size_t>(fb->width) * fb->height;
+  uint64_t s0, s1 = 0, stamp = 0;
+  do {
+    s0 = fb->seq.load(std::memory_order_acquire);
+    if (s0 & 1) {  // write in progress; force the retry check to fail
+      s1 = s0 + 1;
+      continue;
+    }
+    std::memcpy(rgb_out, fb->rgb.data(), n * 3);
+    for (size_t i = 0; i < n; ++i) {
+      depth_m_out[i] = fb->depth_mm[i] * 0.001f;
+    }
+    std::memcpy(ir1_out, fb->ir1.data(), n);
+    std::memcpy(ir2_out, fb->ir2.data(), n);
+    stamp = fb->stamp.load(std::memory_order_relaxed);
     std::atomic_thread_fence(std::memory_order_acquire);
     s1 = fb->seq.load(std::memory_order_relaxed);
   } while (s0 != s1);

@@ -191,3 +191,36 @@ def test_servo_loop_viz_hook():
     loop.run(max_iterations=2)
     assert len(frames) == 2
     assert frames[0].shape == (128, 128, 3)
+
+
+def test_frame_buffer_ir_roundtrip():
+    """Four-sensor mailbox (fb_create_ir/fb_publish_ir/fb_latest_ir): the
+    stereo-IR planes ride the same seqlock'd frame as color+depth."""
+    fb = nb.NativeFrameBuffer(4, 3, with_ir=True)
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    depth = np.full((3, 4), 1.5, np.float32)
+    ir1 = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    ir2 = ir1 + 100
+    fb.publish(rgb, depth, ir1, ir2)
+    stamp, r, d, i1, i2 = fb.latest_ir()
+    assert stamp == 1
+    np.testing.assert_array_equal(r, rgb)
+    np.testing.assert_allclose(d, 1.5, atol=1e-3)
+    np.testing.assert_array_equal(i1, ir1)
+    np.testing.assert_array_equal(i2, ir2)
+    # plain latest() still serves color+depth from the same buffer
+    _, r2, _ = fb.latest()
+    np.testing.assert_array_equal(r2, rgb)
+
+
+def test_frame_buffer_ir_guards():
+    fb = nb.NativeFrameBuffer(4, 3)
+    with pytest.raises(ValueError, match="with_ir"):
+        fb.publish(np.zeros((3, 4, 3), np.uint8), np.zeros((3, 4), np.float32),
+                   np.zeros((3, 4), np.uint8), np.zeros((3, 4), np.uint8))
+    with pytest.raises(ValueError, match="with_ir"):
+        fb.latest_ir()
+    fbi = nb.NativeFrameBuffer(4, 3, with_ir=True)
+    with pytest.raises(ValueError, match="IR shape"):
+        fbi.publish(np.zeros((3, 4, 3), np.uint8), np.zeros((3, 4), np.float32),
+                    np.zeros((2, 2), np.uint8), np.zeros((3, 4), np.uint8))

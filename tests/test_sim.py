@@ -216,3 +216,51 @@ def test_organized_point_cloud_backprojection():
     np.testing.assert_array_equal(mono[..., 3], mono[..., 5])
     none = np.asarray(organized_point_cloud(jnp.asarray(d)))
     np.testing.assert_array_equal(none[..., 3:], 0.0)
+
+
+def test_render_ir_stereo_pair():
+    """IR emulation (scene.render_ir): ir1 is the BT.601 luma of the color
+    render at the same pose; ir2 is the view from 50 mm right (stereo
+    baseline _d435.urdf.xacro:20-21), so a fronto-parallel plane at depth Z
+    appears shifted by the stereo disparity f*B/Z pixels."""
+    from vitvs_tpu.sim import render_ir
+    from vitvs_tpu.sim.scene import IR2_OFFSET_Y
+
+    scene = _scene()
+    ir1, ir2 = render_ir(scene, CAM, GOAL_POS, GOAL_QUAT)
+    assert ir1.shape == (480, 640) and ir2.shape == (480, 640)
+    # L_INT8 wire format: exact 8-bit levels
+    a = np.asarray(ir1)
+    np.testing.assert_allclose(a * 255, np.round(a * 255), atol=1e-4)
+    # ir1 == luma of the color render at the same pose
+    rgb, _ = render(scene, CAM, GOAL_POS, GOAL_QUAT)
+    luma = np.asarray(rgb) @ np.array([0.299, 0.587, 0.114], np.float32)
+    np.testing.assert_allclose(a, np.round(np.clip(luma, 0, 1) * 255) / 255,
+                               atol=1e-6)
+    # stereo disparity: looking straight down at the plane, depth is
+    # uniform Z = 0.605, so ir2 is ir1 shifted by f*B/Z pixels
+    disp = float(CAM.fx) * abs(IR2_OFFSET_Y) / 0.605   # ~41.5 px
+    k = int(round(disp))
+    b = np.asarray(ir2)
+    # compare interior columns (texture-covered region away from edges)
+    sl = np.s_[140:340, 200:440]
+    shifted = np.abs(a[:, k:][sl] - b[:, :-k][sl]).mean()
+    unshifted = np.abs(a[sl] - b[sl]).mean()
+    assert shifted < 0.06, shifted            # sub-pixel residual only
+    assert unshifted > 4 * shifted            # the shift is real
+
+
+def test_render_ir_noise_gated_by_key():
+    from vitvs_tpu.sim import render_ir
+
+    scene = _scene()
+    ir1a, _ = render_ir(scene, CAM, GOAL_POS, GOAL_QUAT)
+    ir1b, _ = render_ir(scene, CAM, GOAL_POS, GOAL_QUAT)
+    np.testing.assert_array_equal(np.asarray(ir1a), np.asarray(ir1b))
+    ir1n, ir2n = render_ir(scene, CAM, GOAL_POS, GOAL_QUAT,
+                           noise_key=jax.random.PRNGKey(3))
+    d = np.abs(np.asarray(ir1n) - np.asarray(ir1a))
+    # sigma=0.05 Gaussian (the plugin's SDF noise) -> mean |delta| ~ 0.04
+    assert 0.01 < d.mean() < 0.1
+    # the two IR sensors draw independent noise
+    assert not np.array_equal(np.asarray(ir1n), np.asarray(ir2n))

@@ -38,6 +38,15 @@ def _load() -> Optional[ctypes.CDLL]:
                                    ctypes.c_void_p, ctypes.c_float, ctypes.c_float]
         lib.fb_latest.restype = ctypes.c_uint64
         lib.fb_latest.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.fb_create_ir.restype = ctypes.c_void_p
+        lib.fb_create_ir.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.fb_publish_ir.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_float, ctypes.c_float]
+        lib.fb_latest_ir.restype = ctypes.c_uint64
+        lib.fb_latest_ir.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p]
         lib.depth_m_to_u16mm.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_int64, ctypes.c_float, ctypes.c_float]
         lib.depth_u16mm_to_m.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
@@ -136,21 +145,28 @@ class NativeFrameBuffer:
     """
 
     def __init__(self, width: int, height: int,
-                 min_range: float = 0.1, max_range: float = 10.0):
+                 min_range: float = 0.1, max_range: float = 10.0,
+                 with_ir: bool = False):
         self.width = width
         self.height = height
         self.min_range = min_range
         self.max_range = max_range
+        self.with_ir = with_ir
         self._lib = _load()
         if self._lib is not None:
-            self._h = self._lib.fb_create(width, height)
+            self._h = (self._lib.fb_create_ir(width, height) if with_ir
+                       else self._lib.fb_create(width, height))
         else:
             self._h = None
             self._rgb = np.zeros((height, width, 3), np.uint8)
             self._depth = np.zeros((height, width), np.float32)
+            self._ir = (np.zeros((2, height, width), np.uint8)
+                        if with_ir else None)
             self._stamp = 0
 
-    def publish(self, rgb: np.ndarray, depth_m: np.ndarray) -> None:
+    def publish(self, rgb: np.ndarray, depth_m: np.ndarray,
+                ir1: np.ndarray | None = None,
+                ir2: np.ndarray | None = None) -> None:
         rgb = np.ascontiguousarray(rgb, np.uint8)
         depth = np.ascontiguousarray(depth_m, np.float32)
         if rgb.shape != (self.height, self.width, 3) or \
@@ -160,13 +176,32 @@ class NativeFrameBuffer:
             raise ValueError(
                 f"frame shape mismatch: rgb {rgb.shape} / depth {depth.shape}"
                 f" vs buffer ({self.height}, {self.width})")
+        has_ir = ir1 is not None and ir2 is not None
+        if has_ir:
+            if not self.with_ir:
+                raise ValueError("buffer created without with_ir=True")
+            ir1 = np.ascontiguousarray(ir1, np.uint8)
+            ir2 = np.ascontiguousarray(ir2, np.uint8)
+            if ir1.shape != (self.height, self.width) or ir1.shape != ir2.shape:
+                raise ValueError(
+                    f"IR shape mismatch: {ir1.shape} / {ir2.shape} "
+                    f"vs buffer ({self.height}, {self.width})")
         if self._h is not None:
-            self._lib.fb_publish(self._h, rgb.ctypes.data, depth.ctypes.data,
-                                 self.min_range, self.max_range)
+            if has_ir:
+                self._lib.fb_publish_ir(
+                    self._h, rgb.ctypes.data, depth.ctypes.data,
+                    ir1.ctypes.data, ir2.ctypes.data,
+                    self.min_range, self.max_range)
+            else:
+                self._lib.fb_publish(self._h, rgb.ctypes.data,
+                                     depth.ctypes.data,
+                                     self.min_range, self.max_range)
         else:
             ok = np.isfinite(depth) & (depth >= self.min_range) & (depth <= self.max_range)
             self._rgb = rgb.copy()
             self._depth = np.where(ok, np.round(depth * 1000) / 1000, 0.0).astype(np.float32)
+            if has_ir:
+                self._ir = np.stack([ir1, ir2]).copy()
             self._stamp += 1
 
     def latest(self) -> tuple[int, np.ndarray, np.ndarray]:
@@ -176,6 +211,23 @@ class NativeFrameBuffer:
             stamp = self._lib.fb_latest(self._h, rgb.ctypes.data, depth.ctypes.data)
             return int(stamp), rgb, depth
         return self._stamp, self._rgb.copy(), self._depth.copy()
+
+    def latest_ir(self) -> tuple[int, np.ndarray, np.ndarray,
+                                 np.ndarray, np.ndarray]:
+        """Latest full four-sensor frame (stamp, rgb, depth_m, ir1, ir2)."""
+        if not self.with_ir:
+            raise ValueError("buffer created without with_ir=True")
+        rgb = np.empty((self.height, self.width, 3), np.uint8)
+        depth = np.empty((self.height, self.width), np.float32)
+        ir1 = np.empty((self.height, self.width), np.uint8)
+        ir2 = np.empty((self.height, self.width), np.uint8)
+        if self._h is not None:
+            stamp = self._lib.fb_latest_ir(
+                self._h, rgb.ctypes.data, depth.ctypes.data,
+                ir1.ctypes.data, ir2.ctypes.data)
+            return int(stamp), rgb, depth, ir1, ir2
+        return (self._stamp, self._rgb.copy(), self._depth.copy(),
+                self._ir[0].copy(), self._ir[1].copy())
 
     def get_frame(self) -> tuple[np.ndarray, np.ndarray]:
         """FrameSource protocol (io_bridge.host_loop)."""

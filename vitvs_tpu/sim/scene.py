@@ -178,3 +178,49 @@ def render(
     if quantize_depth_mm:
         depth = jnp.round(depth * 1000.0) / 1000.0
     return rgb, depth
+
+
+# D435 stereo-IR extrinsics: left IR sits at the depth frame, right IR
+# 50 mm to its right (depth-frame y is image-left, so the offset is
+# negative: _d435.urdf.xacro:20-21, d435_cam_depth_to_{left,right}_ir_offset)
+IR1_OFFSET_Y = 0.0
+IR2_OFFSET_Y = -0.050
+
+# ITU-R BT.601 luma — how a colorless renderer grays an RGB scene
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
+
+def render_ir(
+    scene: Scene,
+    cam: CameraIntrinsics,
+    position: jnp.ndarray,
+    quat: jnp.ndarray,
+    noise_key: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Render the two infrared streams (ir1 left, ir2 right), each (H, W)
+    in [0, 1], completing the emulated RealSense's four-sensor surface.
+
+    The reference plugin's IR sensors are plain Gazebo `camera` sensors
+    rendering the same scene in 8-bit grayscale (format L_INT8, HFOV 65 deg,
+    Gaussian noise stddev 0.05 — `_d435.gazebo.xacro:52-100`), published on
+    the infra1/infra2 topics (`RealSensePlugin.cpp:26-27`,
+    `gazebo_ros_realsense.cpp`).  Emulated here as the BT.601 luma of a
+    pinhole render from each IR pose: the left IR is co-located with the
+    depth frame, the right IR offset 50 mm along body -y
+    (`_d435.urdf.xacro:20-21`), giving the pair the true stereo disparity
+    f*B/Z.  With `noise_key` the plugin's sensor noise is added before the
+    8-bit quantization.
+    """
+    r_wb = se3.matrix_from_quat(quat)
+    outs = []
+    keys = (None, None) if noise_key is None else jax.random.split(noise_key)
+    for off_y, key in zip((IR1_OFFSET_Y, IR2_OFFSET_Y), keys):
+        pos = position + r_wb @ jnp.array([0.0, off_y, 0.0], jnp.float32)
+        rgb, _ = render(scene, cam, pos, quat, quantize_depth_mm=False)
+        ir = rgb @ jnp.asarray(_LUMA)
+        if key is not None:
+            ir = ir + 0.05 * jax.random.normal(key, ir.shape, ir.dtype)
+        # L_INT8 wire format: 8-bit levels, like the mm depth quantization
+        ir = jnp.round(jnp.clip(ir, 0.0, 1.0) * 255.0) / 255.0
+        outs.append(ir)
+    return outs[0], outs[1]
