@@ -20,7 +20,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
+
+
+def _stage(msg):
+    print(f"[bench-stage] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
 import numpy as np
 
@@ -29,8 +34,29 @@ CHAIN_SHORT = 5
 CHAIN_LONG = 45
 REPS = 12  # best paired slope: the tunnel/chip adds run-to-run variance
 
+# K/V pooling operating point (ViTConfig.kv_pool).  2 = the pool2+mm serving
+# graph: 4x K/V compression via a static pooling-matrix einsum, -17% latency
+# in the interleaved A/B (artifacts/logs/ab_poolmm.log) and convergence-
+# validated on the full 500-episode real-poster standard sweep
+# (docs/TASK_VALIDATION.md).  Set 0 to time the un-pooled nomax3 graph.
+KV_POOL = 2
 
-def main():
+# Chip-window normalizer: a fixed bf16 matmul-chain graph timed with the
+# same interleaved slope method.  The axon tunnel / shared chip drifts
+# 10-20% between measurement windows (docs/ROOFLINE.md chip-state log:
+# identical graphs read 1.99 vs 2.7 ms/iter across rounds), so every
+# capture carries this constant-work reference time — drift between rounds
+# is then quantified in the artifact itself rather than narrated in docs.
+NORM_DIM = 2048
+NORM_SHORT = 4
+NORM_LONG = 36
+
+
+def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
+              metric=None):
+    """Measure the serving graph for `model_name` @ `input_size` with the
+    production int8 stack; returns the result dict (see main for the JSON
+    contract).  `kv_pool=None` uses the flagship KV_POOL flip above."""
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +69,10 @@ def main():
 
     from vitvs_tpu.models.quant import quantize_vit_params
 
-    cfg = VSConfig(dino_input_size=518, model_name="dinov2_vitb14", layer=11,
-                   pinv_mode="dls")
+    if kv_pool is None:
+        kv_pool = KV_POOL
+    cfg = VSConfig(dino_input_size=input_size, model_name=model_name,
+                   layer=11, pinv_mode="dls")
     # production serving configuration: int8 W8A8 projections with STATIC
     # calibrated activation scales (SmoothQuant fold, models/quant.py),
     # 'nomax3' deferred-normalize attention (probs-sized VPU work is exactly
@@ -63,10 +91,12 @@ def main():
     # nomax2 1.992 vs nomax 2.044; peconv 2.073 vs 2.100; static scales
     # 2.085 vs 2.163 dynamic; fused bin-quant 2.165 vs 2.302.
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
+    vit_over = dict(quant_attn="nomax3", patch_embed_impl="conv")
+    if kv_pool:
+        vit_over.update(kv_pool=kv_pool, kv_pool_impl="matmul")
     model = dataclasses.replace(
         model, quantized=True, pp_precision="default",
-        vit=dataclasses.replace(model.vit, quant_attn="nomax3",
-                                patch_embed_impl="conv"))
+        vit=dataclasses.replace(model.vit, **vit_over))
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((N_FRAMES, cfg.v_max, cfg.u_max, 3)),
@@ -77,11 +107,13 @@ def main():
 
     from vitvs_tpu.harness.pipeline import preprocess
 
+    _stage("calib compile")
     calib = jax.jit(jax.vmap(lambda f: preprocess(model, f)))(frames)
     params = quantize_vit_params(
         vit_mod.init_vit(model.vit, jax.random.PRNGKey(0)),
         cfg=model.vit, calib_images=calib, layer=cfg.layer)
 
+    _stage("quantize done; goal compile")
     goal = jax.jit(lambda p, f: goal_descriptors(p, model, f))(params, frames[0])
     jax.block_until_ready(goal)
 
@@ -107,15 +139,45 @@ def main():
         return run
 
     chains = {n: make_chain(n) for n in (CHAIN_SHORT, CHAIN_LONG)}
-    for fn in chains.values():
+    for n, fn in chains.items():
+        _stage(f"servo chain {n} compile")
         np.asarray(fn(params, goal, frames, depth, jax.random.PRNGKey(0)))
+
+    def make_norm_chain(n):
+        @jax.jit
+        def run(ws, x):
+            def body(carry, i):
+                w = jax.lax.dynamic_index_in_dim(ws, i % ws.shape[0], 0,
+                                                 keepdims=False)
+                return jnp.tanh(carry @ w), ()
+
+            out, _ = jax.lax.scan(body, x, jnp.arange(n))
+            # a scalar that depends on every step: np.asarray on it forces
+            # the whole chain on-device (block_until_ready alone does not
+            # synchronize through the axon relay — measured impossibly fast)
+            return out[0, 0].astype(jnp.float32)
+
+        return run
+
+    nrng = np.random.default_rng(7)
+    norm_ws = jax.device_put(jnp.asarray(
+        nrng.standard_normal((3, NORM_DIM, NORM_DIM)) / np.sqrt(NORM_DIM),
+        jnp.bfloat16))
+    norm_x = jax.device_put(jnp.asarray(
+        nrng.standard_normal((NORM_DIM, NORM_DIM)), jnp.bfloat16))
+    norm_chains = {n: make_norm_chain(n) for n in (NORM_SHORT, NORM_LONG)}
+    for n, fn in norm_chains.items():
+        _stage(f"norm chain {n} compile")
+        np.asarray(fn(norm_ws, norm_x))
 
     # INTERLEAVED reps: the axon tunnel / shared chip drifts 10-20% between
     # measurement windows (r2/r3 lesson — separate-process captures of the
     # identical graph drifted 1.93 -> 2.8 ms/iter).  Timing the short and
     # long chain back-to-back inside each rep and taking the best PAIRED
     # slope keeps both endpoints in the same drift window.
+    _stage("timing reps")
     per_iter = float("inf")
+    norm_per_iter = float("inf")
     for r in range(REPS):
         ts = {}
         for n, fn in chains.items():
@@ -124,13 +186,31 @@ def main():
             ts[n] = time.perf_counter() - t0
         slope = (ts[CHAIN_LONG] - ts[CHAIN_SHORT]) / (CHAIN_LONG - CHAIN_SHORT)
         per_iter = min(per_iter, slope)
+        # normalizer timed inside the same rep => same drift window
+        nts = {}
+        for n, fn in norm_chains.items():
+            t0 = time.perf_counter()
+            np.asarray(fn(norm_ws, norm_x))
+            nts[n] = time.perf_counter() - t0
+        nslope = (nts[NORM_LONG] - nts[NORM_SHORT]) / (NORM_LONG - NORM_SHORT)
+        norm_per_iter = min(norm_per_iter, nslope)
     hz = 1.0 / max(per_iter, 1e-9)
-    print(json.dumps({
-        "metric": "servo_hz_vitb14_518",
+    short = model_name.removeprefix("dinov2_")
+    return {
+        "metric": metric or f"servo_hz_{short}_{input_size}",
         "value": round(hz, 2),
         "unit": "Hz",
         "vs_baseline": round(hz / 500.0, 4),
-    }))
+        # chip-window marker: constant-work bf16 2048^3 matmul-chain step
+        # time (ms).  Compare across BENCH_r*.json to separate real graph
+        # improvements from chip/tunnel drift.
+        "chip_norm_ms": round(norm_per_iter * 1e3, 4),
+        "kv_pool": kv_pool,
+    }
+
+
+def main():
+    print(json.dumps(run_bench(metric="servo_hz_vitb14_518")))
 
 
 if __name__ == "__main__":

@@ -301,7 +301,8 @@ def _pool_matrix(T: int, pool: int) -> np.ndarray:
     return P
 
 
-def _pool_kv(t: jnp.ndarray, pool: int, impl: str = "window") -> jnp.ndarray:
+def _pool_kv(t: jnp.ndarray, pool: int, impl: str = "window",
+             precision=None) -> jnp.ndarray:
     """Mean-pool the spatial tokens of (B, 1+g*g, h, hd) `pool` x `pool` over
     the patch grid; the CLS token passes through.  Edge windows of odd grids
     average their true element count (not the padded window size)."""
@@ -311,11 +312,11 @@ def _pool_kv(t: jnp.ndarray, pool: int, impl: str = "window") -> jnp.ndarray:
     if impl == "matmul":
         # one token-axis matmul with a static pooling matrix: no grid
         # reshape/pad/concat chain, MXU-shaped and fusable (see ViTConfig).
-        # HIGHEST precision so f32 inputs get exact f32 means like the
-        # window impl's adds (P is tiny; the matmul is cheap either way).
+        # `precision` is the caller's matmul precision so f32/training mode
+        # pools at the same accuracy as every other matmul in the block
+        # (bf16-HIGHEST is NOT used: it stalls the remote TPU compile).
         P = jnp.asarray(_pool_matrix(T, pool), t.dtype)
-        return jnp.einsum("ot,bthd->bohd", P, t,
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("ot,bthd->bohd", P, t, precision=precision)
     if impl != "window":
         raise ValueError(f"unknown kv_pool_impl {impl!r} "
                          "(expected 'window' or 'matmul')")
@@ -393,8 +394,8 @@ def _attention(
     qkv = _qkv_project(x_norm, bp, cfg, precision)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
     if cfg.kv_pool > 1:
-        k = _pool_kv(k, cfg.kv_pool, cfg.kv_pool_impl)
-        v = _pool_kv(v, cfg.kv_pool, cfg.kv_pool_impl)
+        k = _pool_kv(k, cfg.kv_pool, cfg.kv_pool_impl, precision)
+        v = _pool_kv(v, cfg.kv_pool, cfg.kv_pool_impl, precision)
     interpret = cfg.attn_impl.endswith("-interpret")
     impl = cfg.attn_impl.removesuffix("-interpret")
     use_pallas = (impl in ("pallas", "fast") or (
