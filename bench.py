@@ -48,8 +48,8 @@ KV_POOL = 2
 # capture carries this constant-work reference time — drift between rounds
 # is then quantified in the artifact itself rather than narrated in docs.
 NORM_DIM = 2048
-NORM_SHORT = 4
-NORM_LONG = 36
+NORM_SHORT = 50
+NORM_LONG = 450
 
 
 def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
@@ -177,7 +177,7 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
     # slope keeps both endpoints in the same drift window.
     _stage("timing reps")
     per_iter = float("inf")
-    norm_per_iter = float("inf")
+    norm_slopes = []
     for r in range(REPS):
         ts = {}
         for n, fn in chains.items():
@@ -192,8 +192,8 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
             t0 = time.perf_counter()
             np.asarray(fn(norm_ws, norm_x))
             nts[n] = time.perf_counter() - t0
-        nslope = (nts[NORM_LONG] - nts[NORM_SHORT]) / (NORM_LONG - NORM_SHORT)
-        norm_per_iter = min(norm_per_iter, nslope)
+        norm_slopes.append(
+            (nts[NORM_LONG] - nts[NORM_SHORT]) / (NORM_LONG - NORM_SHORT))
     hz = 1.0 / max(per_iter, 1e-9)
     short = model_name.removeprefix("dinov2_")
     return {
@@ -204,7 +204,9 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
         # chip-window marker: constant-work bf16 2048^3 matmul-chain step
         # time (ms).  Compare across BENCH_r*.json to separate real graph
         # improvements from chip/tunnel drift.
-        "chip_norm_ms": round(norm_per_iter * 1e3, 4),
+        # median, not min: the normalizer characterizes the TYPICAL window,
+        # not the best-case rep
+        "chip_norm_ms": round(float(np.median(norm_slopes)) * 1e3, 4),
         "kv_pool": kv_pool,
     }
 
