@@ -32,7 +32,7 @@ import numpy as np
 N_FRAMES = 4          # distinct staged camera frames, cycled
 CHAIN_SHORT = 5
 CHAIN_LONG = 45
-REPS = 12  # best paired slope: the tunnel/chip adds run-to-run variance
+REPS = 24  # best paired slope: the tunnel/chip adds run-to-run variance
 
 # K/V pooling operating point (ViTConfig.kv_pool).  2 = the pool2+mm serving
 # graph: 4x K/V compression via a static pooling-matrix einsum, -17% latency
@@ -177,6 +177,7 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
     # slope keeps both endpoints in the same drift window.
     _stage("timing reps")
     per_iter = float("inf")
+    servo_slopes = []
     norm_slopes = []
     for r in range(REPS):
         ts = {}
@@ -185,6 +186,7 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
             np.asarray(fn(params, goal, frames, depth, jax.random.PRNGKey(r + 1)))
             ts[n] = time.perf_counter() - t0
         slope = (ts[CHAIN_LONG] - ts[CHAIN_SHORT]) / (CHAIN_LONG - CHAIN_SHORT)
+        servo_slopes.append(slope)
         per_iter = min(per_iter, slope)
         # normalizer timed inside the same rep => same drift window
         nts = {}
@@ -195,6 +197,7 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
         norm_slopes.append(
             (nts[NORM_LONG] - nts[NORM_SHORT]) / (NORM_LONG - NORM_SHORT))
     hz = 1.0 / max(per_iter, 1e-9)
+    hz_median = 1.0 / max(float(np.median(servo_slopes)), 1e-9)
     short = model_name.removeprefix("dinov2_")
     return {
         "metric": metric or f"servo_hz_{short}_{input_size}",
@@ -207,6 +210,8 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
         # median, not min: the normalizer characterizes the TYPICAL window,
         # not the best-case rep
         "chip_norm_ms": round(float(np.median(norm_slopes)) * 1e3, 4),
+        # median-rep servo rate: robustness companion to the best-rep value
+        "hz_median": round(hz_median, 2),
         "kv_pool": kv_pool,
     }
 
