@@ -76,14 +76,6 @@ step artifacts/results_real64_akaze_standard.npz \
   --method akaze --config configs/real64.yaml \
   --out artifacts --resume artifacts/akaze64_reval.ckpt
 
-# 5. flagship perturbed 500 rerun with the fixed _random_erase
-step artifacts/results_real_s518_n500_dino_perturbed.npz \
-  sweep_s518_pert500_r4.log \
-  --method dino --config configs/real_s518.yaml \
-  --checkpoint artifacts/ckpt_real518 \
-  --num-samples 500 --perturbation --out artifacts \
-  --resume artifacts/s518_pert500_r4.ckpt
-
 # 6. ORB perturbed 64
 step artifacts/results_real64_orb_perturbed.npz \
   sweep_orb_pert64.log \
@@ -95,5 +87,13 @@ step artifacts/results_real64_akaze_perturbed.npz \
   sweep_akaze_pert64.log \
   --method akaze --config configs/real64.yaml \
   --perturbation --out artifacts --resume artifacts/akaze_pert64.ckpt
+
+# 7 (last; longest — checkpoints and resumes across rounds). flagship perturbed 500 rerun with the fixed _random_erase
+step artifacts/results_real_s518_n500_dino_perturbed.npz \
+  sweep_s518_pert500_r4.log \
+  --method dino --config configs/real_s518.yaml \
+  --checkpoint artifacts/ckpt_real518 \
+  --num-samples 500 --perturbation --out artifacts \
+  --resume artifacts/s518_pert500_r4.ckpt
 
 echo "[r4-campaign] done at $(date)"
