@@ -43,6 +43,10 @@ def main():
                     choices=["softmax", "relu", "sqrelu"],
                     help="serving attention score redesign to co-train for"
                          " (ViTConfig.attn_score)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize blocks in the train step "
+                         "(ViTConfig.remat_blocks) — required for ViT-L@518 "
+                         "on a 16 GB chip")
     ap.add_argument("--kv-pool", type=int, default=1,
                     help="K/V patch-grid pooling to co-train for"
                          " (ViTConfig.kv_pool)")
@@ -64,6 +68,11 @@ def main():
                    layer=args.layer, attn_score=args.attn_score,
                    kv_pool=args.kv_pool)
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
+    if args.remat:
+        import dataclasses
+
+        model = dataclasses.replace(
+            model, vit=dataclasses.replace(model.vit, remat_blocks=True))
     if args.poster == "synthetic":
         scene = Scene.create(make_synthetic_poster(512, seed=0))
     elif args.poster:

@@ -104,3 +104,28 @@ def test_training_reduces_loss():
     last = np.mean(losses[-5:])
     assert last < 0.85 * first, (first, last)
     assert int(state.step) == 60
+
+
+def test_remat_blocks_gradients_match():
+    """ViTConfig.remat_blocks trades FLOPs for memory under reverse-mode AD
+    (ViT-L@518 training OOMs a 16 GB chip without it) and must not change
+    gradients."""
+    import dataclasses
+
+    from vitvs_tpu.models import vit as vit_mod
+
+    cfg = vit_mod.ViTConfig(patch_size=14, embed_dim=64, depth=3, num_heads=4,
+                            pos_grid=8, stride=14, model_name="tiny")
+    params = vit_mod.init_vit(cfg, jax.random.PRNGKey(0))
+    imgs = jnp.asarray(np.random.default_rng(0).random((2, 56, 56, 3)),
+                       jnp.float32)
+
+    def loss(p, c):
+        f = vit_mod.vit_features(p, c, imgs, layer=2, facet="token")
+        return jnp.sum(f ** 2)
+
+    g1 = jax.grad(loss)(params, cfg)
+    g2 = jax.grad(loss)(params, dataclasses.replace(cfg, remat_blocks=True))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -64,6 +64,9 @@ class ViTConfig:
     attn_impl: str = "xla"
     # lax.scan unroll factor over the stacked blocks
     scan_unroll: int = 1
+    # rematerialize each block under reverse-mode AD (training-memory knob;
+    # inference graphs are unaffected — no cotangents, nothing to store)
+    remat_blocks: bool = False
     # non-overlapping patch-embed lowering: 'reshape' (explicit 6D transpose
     # + one matmul — the profiled default), 'conv' (lax conv, stride=patch),
     # or 'einsum6' (direct 6D contraction, XLA picks the layout strategy).
@@ -509,8 +512,17 @@ def _run_blocks(x: jnp.ndarray, blocks: Dict[str, jnp.ndarray], cfg: ViTConfig, 
     if nblocks == 0:
         return x
 
+    block = _block
+    if cfg.remat_blocks:
+        # trade FLOPs for HBM under reverse-mode AD: store only each block's
+        # INPUT and recompute its internals (qkv, the (T x T) probs, mlp
+        # hidden) in the backward pass.  Activation memory drops from
+        # O(depth * T^2 * heads) to O(depth * T * D) — ViT-L/14 @ 518
+        # training OOMs a 16 GB chip even at batch 2 without this
+        block = jax.checkpoint(_block, static_argnums=(2, 3))
+
     def body(h, bp):
-        return _block(h, bp, cfg, precision), None
+        return block(h, bp, cfg, precision), None
 
     x, _ = jax.lax.scan(body, x, blocks, unroll=min(cfg.scan_unroll, nblocks))
     return x
