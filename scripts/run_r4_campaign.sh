@@ -66,6 +66,12 @@ step artifacts/results_real_s518_pool3_int8cal_dino_perturbed.npz \
   --checkpoint artifacts/ckpt_real518 --int8 --int8-static \
   --perturbation --out artifacts --resume artifacts/pool3_pert64.ckpt
 
+# 6. ORB perturbed 64
+step artifacts/results_real64_orb_perturbed.npz \
+  sweep_orb_pert64.log \
+  --method orb --config configs/real64.yaml \
+  --perturbation --out artifacts --resume artifacts/orb_pert64.ckpt
+
 # 4. AKAZE standard 64 revalidation (classical/binary.py edge-clamp fix)
 if [ ! -f artifacts/results_real64_akaze_standard_preclampfix.npz ]; then
   mv artifacts/results_real64_akaze_standard.npz \
@@ -75,12 +81,6 @@ step artifacts/results_real64_akaze_standard.npz \
   sweep_akaze64_reval.log \
   --method akaze --config configs/real64.yaml \
   --out artifacts --resume artifacts/akaze64_reval.ckpt
-
-# 6. ORB perturbed 64
-step artifacts/results_real64_orb_perturbed.npz \
-  sweep_orb_pert64.log \
-  --method orb --config configs/real64.yaml \
-  --perturbation --out artifacts --resume artifacts/orb_pert64.ckpt
 
 # 7. AKAZE perturbed 64
 step artifacts/results_real64_akaze_perturbed.npz \
