@@ -18,6 +18,12 @@ import sys
 
 import numpy as np
 
+# pure-host analysis: force the CPU backend BEFORE the evals import pulls in
+# jax, so summarizing never blocks on (or contends with) the TPU relay
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vitvs_tpu.harness import evals  # noqa: E402
