@@ -7,11 +7,14 @@ fallback so the framework works without a compiler.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 from typing import Optional
 
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native")
@@ -31,6 +34,14 @@ def _load() -> Optional[ctypes.CDLL]:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "fb_create_ir"):
+            # stale pre-IR build of the .so (checkout built before the
+            # 4-sensor surface landed): rebuild and reload rather than
+            # letting the AttributeError below silently disable the whole
+            # native bridge
+            subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
         lib.fb_create.restype = ctypes.c_void_p
         lib.fb_create.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.fb_destroy.argtypes = [ctypes.c_void_p]
@@ -55,7 +66,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bilinear_resize_u8.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
         _lib = lib
-    except Exception:
+    except Exception as exc:
+        _log.warning("native sensor bridge unavailable (%s); using the "
+                     "pure-numpy fallback path", exc)
         _lib = None
     return _lib
 
@@ -167,6 +180,12 @@ class NativeFrameBuffer:
     def publish(self, rgb: np.ndarray, depth_m: np.ndarray,
                 ir1: np.ndarray | None = None,
                 ir2: np.ndarray | None = None) -> None:
+        """Publish a frame.  ir1/ir2 must be passed together; on a with_ir
+        buffer an rgb/depth-only publish bumps the stamp while the IR planes
+        keep their previous content, so a subsequent latest_ir() pairs the
+        fresh stamp with the last PUBLISHED IR frames (reference parity: the
+        plugin's sensors also publish at independent rates,
+        RealSensePlugin.cpp:215-240)."""
         rgb = np.ascontiguousarray(rgb, np.uint8)
         depth = np.ascontiguousarray(depth_m, np.float32)
         if rgb.shape != (self.height, self.width, 3) or \
@@ -176,7 +195,9 @@ class NativeFrameBuffer:
             raise ValueError(
                 f"frame shape mismatch: rgb {rgb.shape} / depth {depth.shape}"
                 f" vs buffer ({self.height}, {self.width})")
-        has_ir = ir1 is not None and ir2 is not None
+        if (ir1 is None) != (ir2 is None):
+            raise ValueError("pass ir1 and ir2 together (or neither)")
+        has_ir = ir1 is not None
         if has_ir:
             if not self.with_ir:
                 raise ValueError("buffer created without with_ir=True")
