@@ -67,6 +67,7 @@ def main():
         score = ""
         kvp = 0
         kvimpl = ""
+        kvwhere = ""
         nofuse = cal = False
         for tok in mods:
             if tok.startswith("pp"):
@@ -83,8 +84,14 @@ def main():
                 kvp = int(tok[4:])   # kv_pool redesign
             elif tok == "mm":
                 kvimpl = "matmul"    # kv_pool via static pooling matmul
+            elif tok == "pre":
+                kvwhere = "pre"      # pool-then-project (kv_pool_where)
             else:
                 raise SystemExit(f"unknown variant modifier '+{tok}' in {spec!r}")
+        if kvwhere and not kvp:
+            raise SystemExit(
+                f"'+pre' requires a '+poolN' modifier in {spec!r} "
+                "(kv_pool_where is inert at kv_pool=1)")
         if kvimpl and not kvp:
             # '+mm' without '+poolN' would be a silent no-op vs base — an A/B
             # spec typo that reads back as a misleading "no difference"
@@ -104,6 +111,8 @@ def main():
             vit = dataclasses.replace(vit, kv_pool=kvp)
         if kvimpl:
             vit = dataclasses.replace(vit, kv_pool_impl=kvimpl)
+        if kvwhere:
+            vit = dataclasses.replace(vit, kv_pool_where=kvwhere)
         model = dataclasses.replace(base, vit=vit)
         if pp:
             model = dataclasses.replace(model, pp_precision=pp)

@@ -79,6 +79,49 @@ def test_pool_kv_matmul_impl_matches_window(g, pool):
         vit_mod._pool_kv(t, pool, "nope")
 
 
+@pytest.mark.parametrize("pool", [2, 3])
+def test_prepool_matches_postpool_fp(pool):
+    """kv_pool_where='pre' (pool tokens, then project K/V) is algebraically
+    identical to project-then-pool: P@(XW) == (P@X)W and the mean rows sum
+    to 1 so the bias passes through.  f32 forward must agree to float-
+    association tolerance."""
+    post = _tiny_cfg(kv_pool=pool, kv_pool_impl="matmul")
+    pre = _tiny_cfg(kv_pool=pool, kv_pool_impl="matmul", kv_pool_where="pre")
+    params = _real_scale_params(post)
+    img = jnp.asarray(RNG.random((1, 154, 154, 3)), jnp.float32)
+    a = np.asarray(extract_descriptors(params, post, img, layer=3,
+                                       facet="token", bin=False,
+                                       compute_dtype=jnp.float32))
+    b = np.asarray(extract_descriptors(params, pre, img, layer=3,
+                                       facet="token", bin=False,
+                                       compute_dtype=jnp.float32))
+    np.testing.assert_allclose(b, a, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("acts", ["dynamic", "static"])
+def test_prepool_int8_path_matches_postpool(acts):
+    """The int8 serving pre-pool branch (models/quant._block_q: sliced
+    qkv columns + shared act scale on the pooled tokens) computes the same
+    function as post-pool up to int8 rounding."""
+    post = _tiny_cfg(kv_pool=2, kv_pool_impl="matmul", quant_attn="nomax3")
+    pre = dataclasses.replace(post, kv_pool_where="pre")
+    params = _real_scale_params(post)
+    img = jnp.asarray(RNG.random((1, 154, 154, 3)), jnp.float32)
+    if acts == "static":
+        qp = quantize_vit_params(params, cfg=post, calib_images=img, layer=3)
+    else:
+        qp = quantize_vit_params(params)
+    a = np.asarray(extract_descriptors(qp, post, img, layer=3, facet="token",
+                                       bin=False, compute_dtype=jnp.float32,
+                                       quantized=True))[0, 0]
+    b = np.asarray(extract_descriptors(qp, pre, img, layer=3, facet="token",
+                                       bin=False, compute_dtype=jnp.float32,
+                                       quantized=True))[0, 0]
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1) + 1e-12)
+    assert cos.min() > 0.995, cos.min()
+
+
 def test_pool_kv_identity_and_nonsquare_guard():
     t = jnp.asarray(RNG.standard_normal((1, 1 + 9, 2, 4)), jnp.float32)
     assert vit_mod._pool_kv(t, 1) is t

@@ -102,7 +102,8 @@ class ServoModel:
         vit = _dc.replace(make_config(cfg.model_name, cfg.stride),
                           gelu_approx=gelu_approx,
                           attn_score=cfg.attn_score, kv_pool=cfg.kv_pool,
-                          kv_pool_impl=cfg.kv_pool_impl)
+                          kv_pool_impl=cfg.kv_pool_impl,
+                          kv_pool_where=cfg.kv_pool_where)
         return ServoModel(
             vit=vit,
             cfg=cfg,

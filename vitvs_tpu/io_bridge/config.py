@@ -115,6 +115,7 @@ class VSConfig:
     attn_score: str = "softmax"
     kv_pool: int = 1
     kv_pool_impl: str = "window"   # 'window' | 'matmul' (ViTConfig, same means)
+    kv_pool_where: str = "post"    # 'post' | 'pre' (pool-then-project; ViTConfig)
     # classical-controller parity: check the divergence abort every iteration
     # inside the step (ibvs_standard.py:459-464), not only after
     # min_iterations.  Off for the ViT controller (vitvs_v2 has no such check).
@@ -132,6 +133,10 @@ class VSConfig:
             raise ValueError(
                 f"attn_score must be 'softmax', 'relu' or 'sqrelu', "
                 f"got {self.attn_score!r}")
+        if self.kv_pool_where not in ("post", "pre"):
+            raise ValueError(
+                f"kv_pool_where must be 'post' or 'pre', "
+                f"got {self.kv_pool_where!r}")
 
     @property
     def c_x(self) -> float:

@@ -245,25 +245,42 @@ def _block_q(x: jnp.ndarray, bp: Dict[str, jnp.ndarray], cfg: ViTConfig) -> jnp.
 
     x_norm = vit_mod._layernorm(x, bp["norm1_scale"], bp["norm1_bias"],
                                 cfg.ln_eps, cfg.ln_f32)
-    qkv = _q_matmul(x_norm, bp["qkv_kernel"], bp["qkv_kernel_scale"][0],
-                    bp["qkv_bias"], dt,
-                    act_scale=None if acts is None else acts[0])
     mode = getattr(cfg, "quant_attn", "pv")
     if mode == "fused" and (cfg.attn_score != "softmax" or cfg.kv_pool > 1):
         raise ValueError("quant_attn='fused' (ops/attn_int8.py) does not "
                          "compose with attn_score/kv_pool redesigns")
-    if mode == "fused":
-        # fully fused int8-QK^T kernel (ops/attn_int8.py): q/k/v stay in the
-        # qkv output's natural (B, T, D) layout — the three slices below are
-        # contiguous, no head transpose ever materializes
-        from vitvs_tpu.ops.attn_int8 import fused_int8_attention
-
-        attn = fused_int8_attention(
-            qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:], heads=h,
-            interpret=cfg.attn_impl.endswith("-interpret"))
-        attn = attn.astype(dt)
+    asc = None if acts is None else acts[0]
+    if cfg.kv_pool > 1 and cfg.kv_pool_where == "pre":
+        # pool-then-project (ViTConfig.kv_pool_where): the K/V columns of the
+        # int8 qkv matmul run on the T_p pooled tokens (per-output-column
+        # weight scales slice with the columns; the pooled activations share
+        # the static qkv act scale — pooled means are bounded by the
+        # calibrated amax).  Equal to project-then-pool up to int8 rounding.
+        P = jnp.asarray(vit_mod._pool_matrix(T, cfg.kv_pool), x_norm.dtype)
+        xp = jnp.einsum("ot,btd->bod", P, x_norm)
+        wq, ws = bp["qkv_kernel"], bp["qkv_kernel_scale"][0]
+        q = _q_matmul(x_norm, wq[:, :D], ws[:D], bp["qkv_bias"][:D], dt,
+                      act_scale=asc)
+        kv = _q_matmul(xp, wq[:, D:], ws[D:], bp["qkv_bias"][D:], dt,
+                       act_scale=asc)
+        kv = kv.reshape(B, -1, 2, h, hd)
+        attn = _attn_qkv(q.reshape(B, T, h, hd), kv[:, :, 0], kv[:, :, 1],
+                         cfg, dt)
     else:
-        attn = _attn_unfused(qkv.reshape(B, T, 3, h, hd), cfg, dt)
+        qkv = _q_matmul(x_norm, bp["qkv_kernel"], bp["qkv_kernel_scale"][0],
+                        bp["qkv_bias"], dt, act_scale=asc)
+        if mode == "fused":
+            # fully fused int8-QK^T kernel (ops/attn_int8.py): q/k/v stay in
+            # the qkv output's natural (B, T, D) layout — the three slices
+            # below are contiguous, no head transpose ever materializes
+            from vitvs_tpu.ops.attn_int8 import fused_int8_attention
+
+            attn = fused_int8_attention(
+                qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:], heads=h,
+                interpret=cfg.attn_impl.endswith("-interpret"))
+            attn = attn.astype(dt)
+        else:
+            attn = _attn_unfused(qkv.reshape(B, T, 3, h, hd), cfg, dt)
     attn = _q_matmul(attn, bp["proj_kernel"], bp["proj_kernel_scale"][0],
                      bp["proj_bias"], dt,
                      act_scale=None if acts is None else acts[2])
@@ -293,15 +310,22 @@ def _attn_unfused(qkv: jnp.ndarray, cfg: ViTConfig, dt) -> jnp.ndarray:
     One dispatch per mode (an earlier version threaded three interleaved
     `if mode == "fused"` chains through shared locals — a mode added to the
     wrong chain silently fell through to the exact-softmax branch)."""
-    import math
-
-    B, T, _, h, hd = qkv.shape
-    D = h * hd
-    mode = getattr(cfg, "quant_attn", "pv")
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if cfg.kv_pool > 1:
         k = vit_mod._pool_kv(k, cfg.kv_pool, cfg.kv_pool_impl)
         v = vit_mod._pool_kv(v, cfg.kv_pool, cfg.kv_pool_impl)
+    return _attn_qkv(q, k, v, cfg, dt)
+
+
+def _attn_qkv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              cfg: ViTConfig, dt) -> jnp.ndarray:
+    """Score/normalize/PV for q (B,T,h,hd) against (possibly pooled)
+    k/v (B,Tk,h,hd) -> (B,T,D); every non-'fused' quant_attn mode."""
+    import math
+
+    B, T, h, hd = q.shape
+    D = h * hd
+    mode = getattr(cfg, "quant_attn", "pv")
     if cfg.attn_score != "softmax":
         # relu / sqrelu scores (vit._score_attention — the one shared
         # implementation): supersedes every quant_attn softmax mode.

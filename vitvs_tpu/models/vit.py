@@ -140,6 +140,16 @@ class ViTConfig:
     # SLOWER than no pooling at ViT-B@518 (artifacts/logs/ab_redesign.log),
     # which is what this variant exists to isolate.
     kv_pool_impl: str = "window"
+    # kv_pool_where: 'post' pools K and V after the fused qkv projection
+    # (the r4-validated layout); 'pre' exploits that mean pooling commutes
+    # with the per-token linear projection (P@(XW) == (P@X)W, and each mean
+    # row sums to 1 so the bias passes through exactly): the normed tokens
+    # are pooled FIRST and the K/V projection runs on T_p tokens instead of
+    # T — at pool3/518 that is 170 vs 1370 rows through the K/V half of the
+    # qkv matmul, ~2.2x fewer qkv MACs, identical math up to float
+    # association (int8: up to quantization rounding).  'pre' implies the
+    # matmul pooling (there is no k/v grid to window-pool).
+    kv_pool_where: str = "post"
     # FFN family: 'mlp' (GELU) or 'swiglu' (DINOv2-giant's SwiGLUFFNFused)
     ffn: str = "mlp"
     # explicit FFN hidden width; None = int(embed_dim * mlp_ratio) for mlp,
@@ -385,6 +395,22 @@ def _qkv_project(x_norm: jnp.ndarray, bp: Dict[str, jnp.ndarray],
     return jnp.einsum("btd,dchk->btchk", x_norm, w, precision=precision) + b
 
 
+def _qkv_project_prepool(x_norm: jnp.ndarray, bp: Dict[str, jnp.ndarray],
+                         cfg: ViTConfig, precision):
+    """kv_pool_where='pre': pool the normed tokens, then project K/V on the
+    pooled T_p tokens while Q projects densely (see ViTConfig.kv_pool_where;
+    exactly equal to project-then-pool up to float association).
+    Returns q (B,T,h,hd), k/v (B,Tp,h,hd)."""
+    h, hd = cfg.num_heads, cfg.head_dim
+    w = bp["qkv_kernel"].reshape(bp["qkv_kernel"].shape[0], 3, h, hd)
+    b = bp["qkv_bias"].reshape(3, h, hd)
+    P = jnp.asarray(_pool_matrix(x_norm.shape[1], cfg.kv_pool), x_norm.dtype)
+    xp = jnp.einsum("ot,btd->bod", P, x_norm, precision=precision)
+    q = jnp.einsum("btd,dhk->bthk", x_norm, w[:, 0], precision=precision) + b[0]
+    kv = jnp.einsum("bod,dchk->bochk", xp, w[:, 1:], precision=precision) + b[1:]
+    return q, kv[:, :, 0], kv[:, :, 1]
+
+
 def _attention(
     x_norm: jnp.ndarray,
     bp: Dict[str, jnp.ndarray],
@@ -394,11 +420,14 @@ def _attention(
     """SDPA attention matching `dino_patch/attention.py:70-80` semantics."""
     B, T, D = x_norm.shape
     h, hd = cfg.num_heads, cfg.head_dim
-    qkv = _qkv_project(x_norm, bp, cfg, precision)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
-    if cfg.kv_pool > 1:
-        k = _pool_kv(k, cfg.kv_pool, cfg.kv_pool_impl, precision)
-        v = _pool_kv(v, cfg.kv_pool, cfg.kv_pool_impl, precision)
+    if cfg.kv_pool > 1 and cfg.kv_pool_where == "pre":
+        q, k, v = _qkv_project_prepool(x_norm, bp, cfg, precision)
+    else:
+        qkv = _qkv_project(x_norm, bp, cfg, precision)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, hd)
+        if cfg.kv_pool > 1:
+            k = _pool_kv(k, cfg.kv_pool, cfg.kv_pool_impl, precision)
+            v = _pool_kv(v, cfg.kv_pool, cfg.kv_pool_impl, precision)
     interpret = cfg.attn_impl.endswith("-interpret")
     impl = cfg.attn_impl.removesuffix("-interpret")
     use_pallas = (impl in ("pallas", "fast") or (
