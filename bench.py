@@ -43,6 +43,10 @@ REPS = 24  # best paired slope: the tunnel/chip adds run-to-run variance
 # 2 = the pool2mm point: -17%, 99.8% standard / 96.9% perturbed — the
 # robustness-preferred alternative.  0 times the un-pooled nomax3 graph.
 KV_POOL = 3
+# Where K/V pooling runs: 'pre' pools the normed tokens BEFORE the K/V
+# projection (vit.ViTConfig.kv_pool_where — algebraically identical to
+# project-then-pool, ~2.2x fewer qkv MACs); 'post' is the r4 layout.
+KV_POOL_WHERE = "post"
 
 # Chip-window normalizer: a fixed bf16 matmul-chain graph timed with the
 # same interleaved slope method.  The axon tunnel / shared chip drifts
@@ -56,7 +60,7 @@ NORM_LONG = 450
 
 
 def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
-              metric=None):
+              metric=None, kv_pool_where=None):
     """Measure the serving graph for `model_name` @ `input_size` with the
     production int8 stack; returns the result dict (see main for the JSON
     contract).  `kv_pool=None` uses the flagship KV_POOL flip above."""
@@ -74,6 +78,8 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
 
     if kv_pool is None:
         kv_pool = KV_POOL
+    if kv_pool_where is None:
+        kv_pool_where = KV_POOL_WHERE
     cfg = VSConfig(dino_input_size=input_size, model_name=model_name,
                    layer=11, pinv_mode="dls")
     # production serving configuration: int8 W8A8 projections with STATIC
@@ -96,7 +102,8 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
     vit_over = dict(quant_attn="nomax3", patch_embed_impl="conv")
     if kv_pool:
-        vit_over.update(kv_pool=kv_pool, kv_pool_impl="matmul")
+        vit_over.update(kv_pool=kv_pool, kv_pool_impl="matmul",
+                        kv_pool_where=kv_pool_where)
     model = dataclasses.replace(
         model, quantized=True, pp_precision="default",
         vit=dataclasses.replace(model.vit, **vit_over))
@@ -199,21 +206,25 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
             nts[n] = time.perf_counter() - t0
         norm_slopes.append(
             (nts[NORM_LONG] - nts[NORM_SHORT]) / (NORM_LONG - NORM_SHORT))
-    hz = 1.0 / max(per_iter, 1e-9)
+    hz_best = 1.0 / max(per_iter, 1e-9)
     hz_median = 1.0 / max(float(np.median(servo_slopes)), 1e-9)
     short = model_name.removeprefix("dinov2_")
     return {
         "metric": metric or f"servo_hz_{short}_{input_size}",
-        "value": round(hz, 2),
+        # value = the MEDIAN-rep rate (r4 verdict: a best-of-N minimum
+        # against a threshold invites lucky-rep victories — the defensible
+        # top-line number is the typical rate, best-rep is the companion)
+        "value": round(hz_median, 2),
         "unit": "Hz",
-        "vs_baseline": round(hz / 500.0, 4),
+        "vs_baseline": round(hz_median / 500.0, 4),
         # chip-window marker: constant-work bf16 2048^3 matmul-chain step
         # time (ms).  Compare across BENCH_r*.json to separate real graph
         # improvements from chip/tunnel drift.
         # median, not min: the normalizer characterizes the TYPICAL window,
         # not the best-case rep
         "chip_norm_ms": round(float(np.median(norm_slopes)) * 1e3, 4),
-        # median-rep servo rate: robustness companion to the best-rep value
+        # best paired slope across reps (the r1-r4 `value` semantics)
+        "hz_best": round(hz_best, 2),
         "hz_median": round(hz_median, 2),
         "kv_pool": kv_pool,
     }

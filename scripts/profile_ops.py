@@ -66,6 +66,14 @@ def main():
                          " pv | qk+pv | fused | nomax")
     ap.add_argument("--pp", default=None,
                     help="preprocess resize precision (ServoModel.pp_precision)")
+    ap.add_argument("--pe", default=None,
+                    help="patch_embed_impl (reshape | conv | einsum6)")
+    ap.add_argument("--pool", type=int, default=0,
+                    help="kv_pool factor (0/1 = off)")
+    ap.add_argument("--poolimpl", default="matmul",
+                    help="kv_pool_impl (window | matmul)")
+    ap.add_argument("--poolwhere", default="post",
+                    help="kv_pool_where (post | pre)")
     ap.add_argument("--model", default="dinov2_vitb14")
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--chain", type=int, default=20)
@@ -93,6 +101,13 @@ def main():
         model = dc.replace(model, vit=dc.replace(model.vit, quant_attn=args.qattn))
     if args.pp:
         model = dc.replace(model, pp_precision=args.pp)
+    if args.pe:
+        model = dc.replace(model, vit=dc.replace(model.vit,
+                                                 patch_embed_impl=args.pe))
+    if args.pool and args.pool > 1:
+        model = dc.replace(model, vit=dc.replace(
+            model.vit, kv_pool=args.pool, kv_pool_impl=args.poolimpl,
+            kv_pool_where=args.poolwhere))
     params = vit_mod.init_vit(model.vit, jax.random.PRNGKey(0))
     if args.quant:
         from vitvs_tpu.models.quant import quantize_vit_params
