@@ -68,7 +68,8 @@ def main():
         kvp = 0
         kvimpl = ""
         kvwhere = ""
-        nofuse = cal = False
+        unroll = 0
+        nofuse = cal = lnbf16 = False
         for tok in mods:
             if tok.startswith("pp"):
                 pp = tok[2:]
@@ -86,6 +87,10 @@ def main():
                 kvimpl = "matmul"    # kv_pool via static pooling matmul
             elif tok == "pre":
                 kvwhere = "pre"      # pool-then-project (kv_pool_where)
+            elif tok == "lnbf16":
+                lnbf16 = True        # LayerNorm stats in compute dtype
+            elif tok.startswith("unroll"):
+                unroll = int(tok[6:])   # lax.scan unroll over blocks
             else:
                 raise SystemExit(f"unknown variant modifier '+{tok}' in {spec!r}")
         if kvwhere and not kvp:
@@ -113,6 +118,10 @@ def main():
             vit = dataclasses.replace(vit, kv_pool_impl=kvimpl)
         if kvwhere:
             vit = dataclasses.replace(vit, kv_pool_where=kvwhere)
+        if lnbf16:
+            vit = dataclasses.replace(vit, ln_f32=False)
+        if unroll:
+            vit = dataclasses.replace(vit, scan_unroll=unroll)
         model = dataclasses.replace(base, vit=vit)
         if pp:
             model = dataclasses.replace(model, pp_precision=pp)
