@@ -42,11 +42,18 @@ REPS = 24  # best paired slope: the tunnel/chip adds run-to-run variance
 # perturbed-gated at 93.8% (within 2 pts of the flagship's 95.4%, run AG).
 # 2 = the pool2mm point: -17%, 99.8% standard / 96.9% perturbed — the
 # robustness-preferred alternative.  0 times the un-pooled nomax3 graph.
-KV_POOL = 3
+# r5: flipped to pool2mm (VERDICT item 5) — the reshape patch-embed fix
+# (see vit_over below) put BOTH pooled points far clear of the 500 Hz
+# gate, so the robustness-preferred pool2mm (96.9% perturbed, run AF,
+# ABOVE the un-pooled flagship's 95.4%) becomes the flagship; the speed/
+# robustness trade is gone.  r5 interleaved A/B (pereshape+pre): pool2
+# 1.103 vs pool3 0.919 ms/iter.
+KV_POOL = 2
 # Where K/V pooling runs: 'pre' pools the normed tokens BEFORE the K/V
 # projection (vit.ViTConfig.kv_pool_where — algebraically identical to
-# project-then-pool, ~2.2x fewer qkv MACs); 'post' is the r4 layout.
-KV_POOL_WHERE = "post"
+# project-then-pool, ~2.2x fewer qkv MACs; r5 interleaved A/B -7%);
+# 'post' is the r4 layout.
+KV_POOL_WHERE = "pre"
 
 # Chip-window normalizer: a fixed bf16 matmul-chain graph timed with the
 # same interleaved slope method.  The axon tunnel / shared chip drifts
@@ -100,7 +107,12 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
     # nomax2 1.992 vs nomax 2.044; peconv 2.073 vs 2.100; static scales
     # 2.085 vs 2.163 dynamic; fused bin-quant 2.165 vs 2.302.
     model = ServoModel.create(cfg, compute_dtype=jnp.bfloat16)
-    vit_over = dict(quant_attn="nomax3", patch_embed_impl="conv")
+    # patch_embed_impl: 'reshape' — at the pooled operating points XLA's
+    # conv lowering of the 3-channel patch embed degenerates (~0.62 ms of
+    # conv + a 0.24 ms layout copy per iter, r5 op-profile); the explicit
+    # patchify-reshape + matmul runs the same math in ~0.06 ms.  r5
+    # interleaved A/B at pool3: reshape 1.443 vs conv 2.246 ms/iter.
+    vit_over = dict(quant_attn="nomax3", patch_embed_impl="reshape")
     if kv_pool:
         vit_over.update(kv_pool=kv_pool, kv_pool_impl="matmul",
                         kv_pool_where=kv_pool_where)

@@ -49,6 +49,22 @@ step() {  # step <artifact> <log> <cli args...>
   fi
 }
 
+# 0a/0b. closed-loop gates for the EXACT r5 benched serving graph
+# (pool2mm + kv_pool_where=pre + reshape patch embed; pre is algebraically
+# identical to the validated post-pool graph up to int8 rounding, so these
+# gates confirm the rounding delta is inert end-to-end)
+step artifacts/results_real_s518_pool2mmpre_int8cal_dino_standard.npz \
+  sweep_pool2mmpre_64.log \
+  --method dino --config configs/real_s518_pool2mmpre.yaml \
+  --checkpoint artifacts/ckpt_real518 --int8 --int8-static \
+  --out artifacts --resume artifacts/pool2mmpre_64.ckpt
+
+step artifacts/results_real_s518_pool2mmpre_int8cal_dino_perturbed.npz \
+  sweep_pool2mmpre_pert64.log \
+  --method dino --config configs/real_s518_pool2mmpre.yaml \
+  --checkpoint artifacts/ckpt_real518 --int8 --int8-static \
+  --perturbation --out artifacts --resume artifacts/pool2mmpre_pert64.ckpt
+
 # 1. flagship perturbed 500 rerun with the fixed _random_erase
 step artifacts/results_real_s518_n500_dino_perturbed.npz \
   sweep_s518_pert500_r5.log \
