@@ -116,6 +116,28 @@ def test_run_benchmark_end_to_end(tmp_path):
     assert stats2.num_samples == 4
 
 
+def test_run_benchmark_live_channel(tmp_path):
+    """`live_dir` writes annotated-frame snapshots during the sweep — the
+    offline stand-in for the reference's per-frame RViz topics
+    (vitvs_v2.py:516-521,863-923)."""
+    params, model, scene = tiny_setup(pixel_identity=True, max_iterations=12)
+    cfg = model.cfg.replace(num_samples=2, num_circles=1)
+    live = tmp_path / "live"
+    run_benchmark(
+        cfg, params=params, model=model, scene=scene, out_dir=str(tmp_path),
+        config_name="tinylive", rotation_search=False, chunk=2, num_steps=12,
+        segment_steps=4, verbose=False, save=False, live_dir=str(live),
+    )
+    pngs = sorted(p.name for p in live.glob("ep*.png"))
+    assert len(pngs) == 3, pngs          # 12 steps / 4-step segments
+    assert pngs[0] == "ep0000_step00004.png"
+    assert (live / "latest.png").exists()
+    import matplotlib.image as mpimg
+
+    img = mpimg.imread(live / pngs[0])
+    assert img.ndim == 3 and img.shape[0] > 0
+
+
 def test_resume_refuses_foreign_checkpoint(tmp_path):
     """A resume file written by a run with different episodes/flags must
     refuse to load (harness/chunks.load_episodes fingerprint), not silently

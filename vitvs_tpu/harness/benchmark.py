@@ -13,14 +13,18 @@ Flow per the reference, but batched:
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vitvs_tpu.control import EmaState
 from vitvs_tpu.harness import chunks, evals, results, samplers
+from vitvs_tpu.harness import viz as viz_mod
 from vitvs_tpu.harness.pipeline import ServoModel, goal_descriptors
+from vitvs_tpu.harness.pipeline import servo_step as servo_step_mod
 from vitvs_tpu.harness.rollout import find_best_start_pose
 from vitvs_tpu.io_bridge.config import VSConfig
 from vitvs_tpu.models import vit as vit_mod
@@ -76,6 +80,8 @@ def run_benchmark(
     quantized: bool = False,
     int8_static: bool = False,
     episode_indices=None,
+    live_dir: str | None = None,
+    live_every: int = 1,
 ):
     """`checkpoint_path` enables episode-level checkpoint/resume: after every
     chunk the completed episode results are pickled there, and a re-run with
@@ -91,6 +97,15 @@ def run_benchmark(
     results match the single-device run to float tolerance (~1e-4 over short
     rollouts — XLA schedules fusions differently under sharding, so bitwise
     equality is not achievable; asserted in tests/test_parallel.py).
+
+    `live_dir` opens a live observability channel during the sweep — the
+    offline equivalent of the reference's per-frame annotated-image ROS
+    topics viewable in RViz (vitvs_v2.py:516-521,863-923): every
+    `live_every` rollout segments, the first in-flight episode of the
+    current chunk is snapshotted (current camera frame with matched current
+    points in green / goal points in red, via harness.viz.draw_points) to
+    `live_dir/ep{abs_idx:04d}_step{t:05d}.png`, with a `latest.png` symlink
+    for tailing.
 
     `episode_indices` replays a subset of the benchmark's episodes by their
     ABSOLUTE index in the seed-41 stream: start poses, rotation-search keys,
@@ -328,7 +343,46 @@ def run_benchmark(
         return jax.vmap(lambda c, y: finalize_episode(c, y, desired_p, desired_q)
                         )(carry, ys)
 
-    def run_chunk(tx, starts, sqs, keys):
+    _live = {"fn": None, "segs": 0}
+
+    def live_snapshot(carry, tx, abs_ep: int, step_done: int) -> None:
+        """Annotated-frame live channel (see `live_dir` in the docstring).
+        One extra servo forward per snapshot — negligible against a
+        segment's `seg` vmapped steps."""
+        if _live["fn"] is None:
+            @jax.jit
+            def _fn(params, goal_desc, sc, position, quat, ema_v, ema_i,
+                    prev_v, key):
+                rgb, depth = observe(sc, model.camera, position, quat)
+                res = servo_step_mod(params, model, goal_desc, rgb, depth,
+                                     EmaState(ema_v, ema_i), prev_v, key)
+                return rgb, res.s_uv, res.s_uv_star, res.valid
+
+            _live["fn"] = _fn
+        sc = scene if tx is None else scene._replace(
+            texture=jax.tree.map(lambda a: a[0], tx))
+        c0 = jax.tree.map(lambda a: a[0], carry)
+        rgb, s_uv, s_uv_star, valid = _live["fn"](
+            params, goal_desc, sc, c0.position, c0.quat,
+            c0.ema.value, c0.ema.initialized, c0.prev_v_c, c0.key)
+        valid = np.asarray(valid)
+        img = viz_mod.draw_points(np.clip(np.asarray(rgb, np.float32), 0, 1),
+                                  np.asarray(s_uv)[valid],
+                                  np.asarray(s_uv_star)[valid])
+        os.makedirs(live_dir, exist_ok=True)
+        name = f"ep{abs_ep:04d}_step{step_done:05d}.png"
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import image as mpimg
+
+        mpimg.imsave(os.path.join(live_dir, name), img)
+        tmp = os.path.join(live_dir, ".latest.tmp")
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(name, tmp)
+        os.replace(tmp, os.path.join(live_dir, "latest.png"))
+
+    def run_chunk(tx, starts, sqs, keys, abs_ep0: int = -1):
         carry = init_chunk(starts, sqs, keys)
         ys_parts = []
         done = 0
@@ -341,6 +395,10 @@ def run_benchmark(
                 carry, ys = fn_tx(params, goal_desc, scene, tx, carry)
             ys_parts.append(ys)
             done += nsteps
+            if live_dir is not None and abs_ep0 >= 0:
+                _live["segs"] += 1
+                if _live["segs"] % max(live_every, 1) == 0:
+                    live_snapshot(carry, tx, abs_ep0, done)
             if done < T and bool(np.all(np.asarray(carry.conv.done
                                                    | carry.aborted))):
                 # exact fast-forward: once every episode in the chunk is
@@ -371,7 +429,8 @@ def run_benchmark(
         # to --chunk, to resuming with a different chunk size, and to the mesh
         keys = env_put(jax.vmap(jax.random.PRNGKey)(chunk_key_ids(lo)))
         tx = None if textures_for is None else textures_for(lo, hi, pad)
-        batch = run_chunk(tx, padded(positions), padded(best_quats), keys)
+        batch = run_chunk(tx, padded(positions), padded(best_quats), keys,
+                          abs_ep0=int(abs_idx[lo]))
         batch = jax.tree.map(np.asarray, batch)
         for i in range(hi - lo):
             episodes.append(jax.tree.map(lambda a: a[i], batch))

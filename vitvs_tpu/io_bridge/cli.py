@@ -71,6 +71,14 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the ViT on the int8 W8A8 path (the bench.py"
                         " configuration) instead of bf16")
+    p.add_argument("--live", default=None, metavar="DIR",
+                   help="live observability channel: write an annotated "
+                        "current-frame snapshot of the first in-flight "
+                        "episode of each chunk to DIR every --live-every "
+                        "rollout segments (the reference's per-frame RViz "
+                        "topics, vitvs_v2.py:516-521; dino method only)")
+    p.add_argument("--live-every", type=int, default=1,
+                   help="segments between live snapshots (default 1)")
     p.add_argument("--int8-static", action="store_true",
                    help="with --int8: static per-tensor activation scales"
                         " (SmoothQuant fold) calibrated on rendered scene"
@@ -159,6 +167,7 @@ def main(argv=None):
             checkpoint_path=args.resume, mesh=mesh,
             quantized=args.int8, int8_static=args.int8_static,
             episode_indices=episode_indices,
+            live_dir=args.live, live_every=args.live_every,
         )
     else:
         from vitvs_tpu.classical.benchmark import run_classical_benchmark
