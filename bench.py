@@ -239,6 +239,10 @@ def run_bench(model_name="dinov2_vitb14", kv_pool=None, input_size=518,
         "hz_best": round(hz_best, 2),
         "hz_median": round(hz_median, 2),
         "kv_pool": kv_pool,
+        # serving-graph fingerprint (cross-round comparisons should key on
+        # these, not just the metric name — r4 advisor finding)
+        "kv_pool_where": kv_pool_where,
+        "patch_embed": vit_over.get("patch_embed_impl", "reshape"),
     }
 
 
