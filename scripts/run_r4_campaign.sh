@@ -43,6 +43,10 @@ step() {  # step <artifact> <log> <cli args...>
   timeout 21600 python -u -m vitvs_tpu.io_bridge.cli "$@" \
     > "$LOG/$log" 2>&1
   tail -2 "$LOG/$log"
+  if [ ! -f "$art" ]; then
+    echo "[r4-campaign] STEP FAILED: $art missing (see $LOG/$log); aborting"
+    exit 1
+  fi
 }
 
 # 1. pool3+mm 500-episode standard sweep (64-gate passed 64/64 in r3)
@@ -73,7 +77,8 @@ step artifacts/results_real64_orb_perturbed.npz \
   --perturbation --out artifacts --resume artifacts/orb_pert64.ckpt
 
 # 4. AKAZE standard 64 revalidation (classical/binary.py edge-clamp fix)
-if [ ! -f artifacts/results_real64_akaze_standard_preclampfix.npz ]; then
+if [ ! -f artifacts/results_real64_akaze_standard_preclampfix.npz ] \
+   && [ -f artifacts/results_real64_akaze_standard.npz ]; then
   mv artifacts/results_real64_akaze_standard.npz \
      artifacts/results_real64_akaze_standard_preclampfix.npz
 fi
